@@ -1,0 +1,162 @@
+"""Single-device classification engine.
+
+Per batch (one jit-compiled XLA program, static [B, L] shape):
+
+    codes [B,L] ──extract──► (hi,lo) keys [B,P] ──binary-search──► idx/found
+        ──gather──► per-window targets ──ordered scan──► final target [B]
+        └──scatter──► `seen` probe bitmap (unique-k-mer accounting)
+
+vs the reference's per-read/per-base interpreter loop
+(``newkmer_10nx.cpp:452-617``).  Parity-relevant behaviors preserved:
+
+* per-window hit fold is the *ordered* ``msca`` fold (ops/fold.py);
+* ``ucount[t]`` = number of distinct present DB k-mers with target ``t > 1``
+  (``newkmer_10nx.cpp:596-603``): the per-sample ``set<ktype>`` becomes a
+  per-sample `seen` bitmap over DB slots — exact, because DB keys are unique
+  and each k-mer has exactly one DB target, and order-free;
+* ``gcount`` stays host-side (the per-read finals return to the host anyway
+  for the saved-read capture files and concordance checks).
+
+Long reads (> max_len) stream through the same kernel as chunk rows with a
+KSIZE-1 halo; their window-target sequence is reassembled host-side and folded
+exactly (fast path: if every hit is an ancestor-or-self of the deepest hit,
+the hits lie on one root chain and the fold is order-free = that deepest hit;
+otherwise the rare order-dependent case runs the literal sequential fold).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kmer_id_tpu.core.codec import KSIZE
+from kmer_id_tpu.core.taxonomy import Taxonomy
+from kmer_id_tpu.db.probes import PackedDB
+from kmer_id_tpu.io.batch import Batch, LongRead
+from kmer_id_tpu.ops.extract import extract_kmers
+from kmer_id_tpu.ops.fold import fold_targets
+from kmer_id_tpu.ops.lookup import lookup_keys
+
+
+@partial(jax.jit, static_argnames=("bucket_bits", "want_fold"), donate_argnums=(0,))
+def _classify_kernel(seen, db, tax, codes, lengths, bucket_bits: int, want_fold: bool):
+    ex = extract_kmers(codes, lengths)
+    idx, found = lookup_keys(db, ex["hi"], ex["lo"], bucket_bits=bucket_bits)
+    found = found & ex["valid"]
+    n = db["hi"].shape[0]
+    safe = jnp.minimum(idx, max(n - 1, 0))
+    tgt = jnp.where(found, jnp.take(db["target"], safe, axis=0), 0).astype(jnp.int32)
+    scat = jnp.where(found & (tgt > 1), idx, n).reshape(-1)
+    seen = seen.at[scat].set(1, mode="promise_in_bounds")
+    if want_fold:
+        final = fold_targets(tax["anc"], tax["depth"], tgt)
+        return seen, final
+    return seen, tgt
+
+
+class Classifier:
+    """Holds device-resident DB/taxonomy arrays and drives the jitted step."""
+
+    def __init__(
+        self,
+        db: PackedDB,
+        taxonomy: Taxonomy,
+        batch_size: int = 1024,
+        max_len: int = 512,
+    ):
+        if len(db) == 0:
+            raise ValueError("cannot classify against an empty probe DB")
+        self.n_probes = len(db)
+        self.num_targ = db.num_targ
+        self.bucket_bits = db.bucket_bits
+        self.batch_size = batch_size
+        self.max_len = max_len
+        self.taxonomy = taxonomy
+        self.db_target_host = np.asarray(db.target)
+        self._db = {
+            "hi": jnp.asarray(np.asarray(db.hi)),
+            "lo": jnp.asarray(np.asarray(db.lo)),
+            "target": jnp.asarray(np.asarray(db.target, dtype=np.int32)),
+        }
+        if db.bucket_bits > 0:
+            self._db["bucket_off"] = jnp.asarray(np.asarray(db.bucket_off))
+        self._tax = {
+            "anc": jnp.asarray(taxonomy.anc),
+            "depth": jnp.asarray(taxonomy.depth),
+        }
+
+    # ------------------------------------------------------------ state
+    def new_seen(self) -> jax.Array:
+        """Per-sample probe bitmap; slot n_probes is the miss sink."""
+        return jnp.zeros(self.n_probes + 1, dtype=jnp.int8)
+
+    # ------------------------------------------------------------ steps
+    def process_batch(self, seen, batch: Batch):
+        """Classify one packed batch; returns (seen', final int32 [n_rows])."""
+        seen, final = _classify_kernel(
+            seen,
+            self._db,
+            self._tax,
+            jnp.asarray(batch.codes),
+            jnp.asarray(batch.lengths),
+            bucket_bits=self.bucket_bits,
+            want_fold=True,
+        )
+        return seen, np.asarray(final)[: batch.n_rows]
+
+    def process_long(self, seen, item: LongRead):
+        """Classify one read longer than max_len; returns (seen', final)."""
+        codes = item.codes
+        tl = len(codes)
+        l = self.max_len
+        step = l - KSIZE + 1
+        w = tl - KSIZE + 1
+        starts = list(range(0, w, step))
+        hits_parts: list[np.ndarray] = []
+        for g in range(0, len(starts), self.batch_size):
+            group = starts[g : g + self.batch_size]
+            plane = np.full((self.batch_size, l), 4, dtype=np.uint8)
+            lengths = np.zeros(self.batch_size, dtype=np.int32)
+            for r, s in enumerate(group):
+                chunk = codes[s : s + l]
+                plane[r, : len(chunk)] = chunk
+                lengths[r] = len(chunk)
+            seen, tgt = _classify_kernel(
+                seen,
+                self._db,
+                self._tax,
+                jnp.asarray(plane),
+                jnp.asarray(lengths),
+                bucket_bits=self.bucket_bits,
+                want_fold=False,
+            )
+            tgt = np.asarray(tgt)
+            for r, s in enumerate(group):
+                hits_parts.append(tgt[r, : min(step, w - s)])
+        targets = np.concatenate(hits_parts) if hits_parts else np.zeros(0, np.int32)
+        return seen, self._fold_host(targets)
+
+    def _fold_host(self, targets: np.ndarray) -> int:
+        """Exact host-side fold of an in-order window-target sequence."""
+        hits = targets[targets > 0]
+        if hits.size == 0:
+            return 0
+        tax = self.taxonomy
+        deepest = int(hits[int(np.argmax(tax.depth[hits]))])
+        if bool(np.all(tax.is_anc_or_self(hits, deepest))):
+            return deepest  # all hits on one root chain: order-free
+        final = 0
+        for t in hits.tolist():
+            final = int(tax.msca(t, final)) if final > 0 else t
+        return final
+
+    # ------------------------------------------------------------ finalize
+    def ucount(self, seen) -> np.ndarray:
+        """Per-target distinct-present-k-mer counts from the seen bitmap."""
+        seen_h = np.asarray(seen)[: self.n_probes].astype(bool)
+        t = self.db_target_host[seen_h]
+        t = t[t > 1]
+        return np.bincount(t, minlength=self.num_targ).astype(np.int64)

@@ -1,0 +1,311 @@
+"""Sample/job drivers: the reference `main()` loops, TPU-native.
+
+Covers the three classifier drivers (SURVEY.md §2.2 nx/vf6/m3 rows) on top of
+one engine: DB loading (text probes → packed artifact with caching), the
+per-sample counter-reset loop, ordered saved-read capture, result.txt output,
+and a completed-sample manifest enabling restart at sample granularity (the
+failure-recovery subsystem the reference lacks — a crash mid-batch loses
+everything there, SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Iterable, Optional, TextIO
+
+import numpy as np
+
+from kmer_id_tpu.config import ClassifyConfig
+from kmer_id_tpu.core.taxonomy import Taxonomy
+from kmer_id_tpu.db.metadata import StrainList, load_data_txt, load_tree_edges
+from kmer_id_tpu.db.probes import (
+    PackedDB,
+    load_packed,
+    pack_probes,
+    parse_probes_text,
+    save_packed,
+)
+from kmer_id_tpu.engine.classify import Classifier
+from kmer_id_tpu.io.batch import Batch, LongRead, ReadBatcher
+from kmer_id_tpu.io.fastx import iter_fastq_gz, iter_fasta_plain, iter_reads_auto
+from kmer_id_tpu.utils.logging import log
+
+
+@dataclass
+class LoadedDB:
+    packed: PackedDB
+    taxonomy: Taxonomy
+    strains: StrainList
+    num_targ: int
+    kmers_loaded: int  # probe rows parsed (m3's "<2 kmers" gate uses this)
+
+
+def load_db(
+    data_path: str,
+    tree_path: str,
+    probes_path: str,
+    num_targ: int | None = None,
+    cache_dir: str | None = None,
+    require_tree: bool = False,
+) -> LoadedDB:
+    """Load data/tree/probes into a packed DB + taxonomy.
+
+    ``cache_dir``: if set, the packed artifact is saved there on first load
+    and memory-mapped afterwards (replacing the reference's minutes-long text
+    re-parse at every startup, ``newkmer_10nx.cpp:988``).
+    """
+    strains = load_data_txt(data_path)
+    nt = num_targ if num_targ is not None else strains.num_targ
+    if not os.path.exists(tree_path):
+        if require_tree:
+            raise SystemExit(1)  # kmer_read_m3.cpp:1060
+        edges = []
+    else:
+        edges = load_tree_edges(tree_path)
+    taxonomy = Taxonomy.from_edges(edges, num_nodes=nt)
+
+    packed = None
+    n_rows = -1
+    if cache_dir and os.path.exists(os.path.join(cache_dir, "manifest.json")):
+        try:
+            packed = load_packed(cache_dir)
+            with open(os.path.join(cache_dir, "manifest.json")) as f:
+                n_rows = json.load(f).get("source_rows", -1)
+        except Exception:
+            packed = None
+    if packed is None:
+        records = parse_probes_text(probes_path)
+        n_rows = len(records)
+        packed = pack_probes(records, num_targ=nt)
+        if cache_dir:
+            save_packed(packed, cache_dir)
+            mpath = os.path.join(cache_dir, "manifest.json")
+            with open(mpath) as f:
+                manifest = json.load(f)
+            manifest["source_rows"] = n_rows
+            with open(mpath, "w") as f:
+                json.dump(manifest, f, indent=1)
+    return LoadedDB(packed, taxonomy, strains, nt, n_rows)
+
+
+# ----------------------------------------------------------------- samples
+
+
+@dataclass
+class SampleResult:
+    gcount: np.ndarray  # int64 [num_targ]
+    ucount: np.ndarray  # int64 [num_targ]
+    reads: int  # processed read count (tct analog)
+
+
+class SampleProcessor:
+    """One sample = one counter-reset unit (``newkmer_10nx.cpp:1015-1045``)."""
+
+    def __init__(
+        self,
+        clf: Classifier,
+        cfg: ClassifyConfig,
+        reads_out: Optional[TextIO] = None,
+        target_reads_out: Optional[TextIO] = None,
+    ):
+        self.clf = clf
+        self.cfg = cfg
+        self.reads_out = reads_out
+        self.target_reads_out = target_reads_out
+        self.gcount = np.zeros(clf.num_targ, dtype=np.int64)
+        self.reads = 0
+        self.seen = clf.new_seen()
+        self.batcher = ReadBatcher(clf.batch_size, clf.max_len, u_is_t=cfg.u_is_t)
+
+    def feed(self, records: Iterable) -> None:
+        for acc, seq, qual in records:
+            for item in self.batcher.add(acc, seq, qual):
+                self._consume(item)
+
+    def finish(self) -> SampleResult:
+        for item in self.batcher.flush():
+            self._consume(item)
+        ucount = self.clf.ucount(self.seen)
+        return SampleResult(gcount=self.gcount, ucount=ucount, reads=self.reads)
+
+    # ------------------------------------------------------------ internals
+    def _consume(self, item) -> None:
+        if isinstance(item, LongRead):
+            self.seen, final = self.clf.process_long(self.seen, item)
+            self._account(int(final), item.meta)
+        else:
+            self.seen, finals = self.clf.process_batch(self.seen, item)
+            for i in range(item.n_rows):
+                self._account(int(finals[i]), item.metas[i])
+
+    def _account(self, final: int, meta) -> None:
+        """Saved-read capture + gcount, in read order (newkmer_10nx.cpp:608-613)."""
+        cfg = self.cfg
+        if final > 1 and final < len(self.gcount):
+            if (
+                self.reads_out is not None
+                and self.gcount[final] < cfg.savenum
+                and (cfg.variant == "nx" or cfg.save_target == 0)
+            ):
+                self.reads_out.write(f">{final}:{meta.acc}\n{meta.trimmed_seq}\n")
+            if (
+                self.target_reads_out is not None
+                and final == cfg.save_target
+            ):
+                self.target_reads_out.write(f">{final}:{meta.acc}\n{meta.trimmed_seq}\n")
+        if 0 <= final < len(self.gcount):
+            self.gcount[final] += 1
+        self.reads += 1
+
+
+def write_result(path: str, result: SampleResult) -> None:
+    """``<sample>_result.txt``: one ``t,gcount,ucount`` line per target
+    (``newkmer_10nx.cpp:1040-1043``)."""
+    with open(path, "w") as f:
+        for i in range(len(result.gcount)):
+            f.write(f"{i},{result.gcount[i]},{result.ucount[i]}\n")
+
+
+# ----------------------------------------------------------------- drivers
+
+
+def run_nx(
+    fastq_dir: str,
+    db: LoadedDB,
+    cfg: ClassifyConfig | None = None,
+    e1: str = "_R1_tr.fastq.gz",
+    e2: str = "_R2_tr.fastq.gz",
+    fasta_mode: bool = False,
+    resume: bool = False,
+    clf: Classifier | None = None,
+) -> list[str]:
+    """Batch-classify every paired sample in a directory (nx driver,
+    ``newkmer_10nx.cpp:915-1054``).  Returns the processed sample prefixes."""
+    cfg = cfg or ClassifyConfig.preset("nx")
+    clf = clf or Classifier(db.packed, db.taxonomy, cfg.batch_size, cfg.max_len)
+    prefixes = []
+    for name in os.listdir(fastq_dir):
+        pos = name.find(e1)
+        if pos != -1:
+            prefixes.append(name[:pos])
+    manifest_path = os.path.join(fastq_dir, ".kmer_id_tpu_done.json")
+    done: set[str] = set()
+    if resume and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            done = set(json.load(f))
+    processed = []
+    for prefix in prefixes:
+        if prefix in done:
+            log(f"sample {prefix}: already done, skipping (resume)")
+            continue
+        rpath = os.path.join(fastq_dir, prefix + "_reads.txt")
+        with open(rpath, "w") as reads_out:
+            sp = SampleProcessor(clf, cfg, reads_out=reads_out)
+            if fasta_mode:
+                sp.feed(iter_fasta_plain(os.path.join(fastq_dir, prefix + e1)))
+            else:
+                sp.feed(iter_fastq_gz(os.path.join(fastq_dir, prefix + e1)))
+                r2 = os.path.join(fastq_dir, prefix + e2)
+                if os.path.exists(r2):
+                    sp.feed(iter_fastq_gz(r2))
+            result = sp.finish()
+        write_result(os.path.join(fastq_dir, prefix + "_result.txt"), result)
+        log(f"sample {prefix}: {result.reads} reads")
+        done.add(prefix)
+        with open(manifest_path, "w") as f:
+            json.dump(sorted(done), f)
+        processed.append(prefix)
+    return processed
+
+
+def load_jobs(jfile: str) -> tuple[list[str], list[list[str]]]:
+    """Parse a vf6 job file (``kmer_read_vf6.cpp:1021-1057``), including the
+    zero-file-job quirk: a job with 0 files keeps its name in the list but the
+    next job's files land in its slot."""
+    jnames: list[str] = []
+    fnames: list[list[str]] = []
+    num_jobs = 0
+    with open(jfile, "r", newline="") as f:
+        lines = iter(f)
+        for line in lines:
+            line = line.rstrip("\r\n")
+            if len(line) <= 1:
+                continue
+            parts = line.split()
+            jname, j = parts[0], int(parts[1])
+            jnames.append(jname)
+            fnames.append([])
+            for _ in range(j):
+                fl = next(lines).rstrip("\r\n")
+                fnames[num_jobs].append(fl.split()[0])
+            if j > 0:
+                num_jobs += 1
+    return jnames[:num_jobs], fnames[:num_jobs]
+
+
+def run_vf6(
+    name: str,
+    jname: str,
+    db: LoadedDB,
+    cfg: ClassifyConfig | None = None,
+    root: str = ".",
+    clf: Classifier | None = None,
+) -> list[str]:
+    """Job-based classification (vf6 driver, ``kmer_read_vf6.cpp:966-1172``)."""
+    cfg = cfg or ClassifyConfig.preset("vf6")
+    clf = clf or Classifier(db.packed, db.taxonomy, cfg.batch_size, cfg.max_len)
+    jdir = os.path.join(root, jname)
+    jnames, fnames = load_jobs(os.path.join(jdir, jname + ".txt"))
+    log(f"{len(jnames)} jobs")
+    for jstr, files in zip(jnames, fnames):
+        r_out = open(os.path.join(jdir, jstr + "_reads.txt"), "w")
+        t_out = (
+            open(os.path.join(jdir, jstr + "_target_reads.txt"), "w")
+            if cfg.save_target > 0
+            else None
+        )
+        try:
+            sp = SampleProcessor(clf, cfg, reads_out=r_out, target_reads_out=t_out)
+            for fl in files:
+                sp.feed(iter_reads_auto(fl))
+            result = sp.finish()
+        finally:
+            r_out.close()
+            if t_out:
+                t_out.close()
+        write_result(os.path.join(jdir, jstr + "_result.txt"), result)
+        log(f"job {jstr}: {result.reads} reads")
+    return jnames
+
+
+def run_m3(
+    wdir: str,
+    f1: str,
+    f2: str = "none",
+    cfg: ClassifyConfig | None = None,
+    db: LoadedDB | None = None,
+    db_prefix: str = "mitochondria_",
+) -> SampleResult:
+    """Single-sample mitochondrial classification (m3 driver,
+    ``kmer_read_m3.cpp:973-1132``).  Writes ``wdir/result.txt``."""
+    cfg = cfg or ClassifyConfig.preset("m3")
+    wdir = wdir if wdir.endswith("/") or wdir == "" else wdir + "/"
+    if db is None:
+        db = load_db(
+            wdir + db_prefix + "data.txt",
+            wdir + db_prefix + "tree.txt",
+            wdir + db_prefix + "probes.txt.gz",
+            require_tree=True,
+        )
+    if db.kmers_loaded >= 0 and db.kmers_loaded < 2:
+        raise SystemExit(1)  # kmer_read_m3.cpp:1067
+    clf = Classifier(db.packed, db.taxonomy, cfg.batch_size, cfg.max_len)
+    sp = SampleProcessor(clf, cfg)  # m3 writes no read-capture files
+    sp.feed(iter_reads_auto(f1))
+    if len(f2) > 1 and f2 != "none":
+        sp.feed(iter_reads_auto(f2))
+    result = sp.finish()
+    write_result(os.path.join(wdir, "result.txt"), result)
+    return result

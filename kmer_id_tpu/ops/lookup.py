@@ -1,0 +1,91 @@
+"""Sorted-array k-mer lookup: vectorized two-word binary search.
+
+TPU-native replacement for the reference's 24 GiB open-addressing hash table
+(``newkmer_10nx.cpp:158-266``): the probe DB is a flat array of *sorted*
+60-bit keys split into (hi, lo) uint32 words, and each query becomes a
+branch-free lower-bound binary search — log2(N) rounds of gathers over the
+whole query batch at once.  Exact-key compare gives the same exact-dictionary
+semantics as the reference's probe-until-empty lookup (duplicate file keys are
+resolved to the first occurrence at DB build time, matching first-insert-wins
+probing).
+
+An optional first-level bucket index over the top ``bucket_bits`` of the key
+narrows the search range and cuts the gather rounds on large DBs; the Pallas
+kernel in ``lookup_pallas.py`` is the tuned fast path.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _less2(ahi, alo, bhi, blo):
+    """Lexicographic (hi, lo) uint32 comparison: (a < b)."""
+    return (ahi < bhi) | ((ahi == bhi) & (alo < blo))
+
+
+def searchsorted2(db_hi: jax.Array, db_lo: jax.Array, q_hi: jax.Array, q_lo: jax.Array,
+                  lo0: jax.Array | None = None, hi0: jax.Array | None = None) -> jax.Array:
+    """Lower-bound index of each two-word query in a two-word sorted array.
+
+    ``db_hi/db_lo`` are uint32 [N] sorted by the 60-bit key; ``q_hi/q_lo`` any
+    shape.  Optional per-query ``lo0``/``hi0`` restrict the search range
+    (used with the bucket index).  Returns int32 indices in [0, N].
+    """
+    n = db_hi.shape[0]
+    lo = jnp.zeros(q_hi.shape, dtype=jnp.int32) if lo0 is None else lo0.astype(jnp.int32)
+    hi = jnp.full(q_hi.shape, n, dtype=jnp.int32) if hi0 is None else hi0.astype(jnp.int32)
+    if n == 0:
+        return lo
+    steps = max(1, math.ceil(math.log2(n + 1)))
+
+    def body(_, carry):
+        lo, hi = carry
+        active = lo < hi  # keep converged lanes stable across fixed steps
+        mid = (lo + hi) >> 1
+        mhi = jnp.take(db_hi, mid, axis=0)
+        mlo = jnp.take(db_lo, mid, axis=0)
+        less = _less2(mhi, mlo, q_hi, q_lo)
+        return (
+            jnp.where(active & less, mid + 1, lo),
+            jnp.where(active & ~less, mid, hi),
+        )
+
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi), unroll=True)
+    return lo
+
+
+@partial(jax.jit, static_argnames=("bucket_bits",))
+def lookup_keys(db, q_hi: jax.Array, q_lo: jax.Array, bucket_bits: int = 0):
+    """Look up query keys in a packed DB; returns (index, found).
+
+    ``db`` is a dict with sorted ``hi``/``lo`` uint32 [N] and, when
+    ``bucket_bits > 0``, an int32 offsets array ``bucket_off`` of size
+    2**bucket_bits + 1 mapping the top ``bucket_bits`` of a key to its key
+    range (see db/probes.py).  ``found`` is False where the key is absent;
+    ``index`` is then N (one-past-the-end sentinel).
+    """
+    db_hi, db_lo = db["hi"], db["lo"]
+    n = db_hi.shape[0]
+    if bucket_bits > 0:
+        # key top bits live in hi (28 significant bits: key bits [32, 60)).
+        b = (q_hi >> (28 - bucket_bits)).astype(jnp.int32)
+        off = db["bucket_off"]
+        lo0 = jnp.take(off, b, axis=0)
+        hi0 = jnp.take(off, b + 1, axis=0)
+        idx = searchsorted2(db_hi, db_lo, q_hi, q_lo, lo0, hi0)
+    else:
+        idx = searchsorted2(db_hi, db_lo, q_hi, q_lo)
+    safe = jnp.minimum(idx, n - 1) if n > 0 else idx
+    if n == 0:
+        return jnp.full(q_hi.shape, 0, jnp.int32), jnp.zeros(q_hi.shape, bool)
+    hit = (
+        (idx < n)
+        & (jnp.take(db_hi, safe, axis=0) == q_hi)
+        & (jnp.take(db_lo, safe, axis=0) == q_lo)
+    )
+    return jnp.where(hit, idx, n), hit
