@@ -1,0 +1,338 @@
+"""Sort-based probe-database builder.
+
+Reimplements the reference builder's three passes (``kmer_build_vf6.cpp``,
+SURVEY.md §3.4) without its 128 GiB keyless direct-indexed hash table
+(``kmer_build_vf6.cpp:132-216``).  That table stores **no keys**, so distinct
+k-mers silently merge on collision — approximate by design.  Here the k-mer
+table is an exact sorted key array built by segmented reduction:
+
+* pass 1 (ingest): per ingroup genome, canonical 30-mers → (key, occurrences)
+  runs; runs consolidate by sorting and reducing — occurrence counts add
+  (saturating at MAXREP=2048, whose overflow *poisons* a key, ``:184-191``)
+  and targets merge via segmented LCA (the reference's per-add ``ca`` fold is
+  associative/commutative, so the segment LCA is exact);
+* pass 2 (outgroup subtraction): any canonical k-mer present in a filter-list
+  genome is poisoned (``HashRemove``, ``:195-204``);
+* pass 3 (emission): rescan each ingroup genome in order; every queried key is
+  *consumed* on first touch (the destructive ``getHash``, ``:206-213``), and
+  emits only if target>1, count >= minct(ntargorgs[target]), non-overlapping
+  within the genome (end position > previous emission end + KSIZE), per-target
+  cap, and the entropy filter (``:602-633``).
+
+Behavioral quirks preserved: ``ntargorgs`` counts *directly-labeled* orgs
+(the walk runs before tree edges load, ``:724-732``); tree edges referencing
+nodes >= num_targ are dropped (bounds-checked ``add_edge``, ``:92-97``);
+blank data.txt lines re-push the previous org (failed stream extraction,
+``:705-717``).  Known divergence (improvement): no hash collisions, so counts
+and merges are exact where the reference's may alias at ~2^-35 probability.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from kmer_id_tpu.config import BuildConfig
+from kmer_id_tpu.core.codec import KSIZE, canonical_kmers, encode_bases, key_to_string
+from kmer_id_tpu.core.taxonomy import Taxonomy
+from kmer_id_tpu.db.entropy import check_entropy_keys
+from kmer_id_tpu.db.probes import ProbeRecords, write_probes_text
+from kmer_id_tpu.io.fastx import load_genome_contigs, load_genome_gz
+from kmer_id_tpu.utils.logging import log
+
+MAXREP = 2048
+
+
+# ------------------------------------------------------------ segmented LCA
+
+
+def segmented_lca(tax: Taxonomy, starts: np.ndarray, targets: np.ndarray) -> np.ndarray:
+    """LCA of each segment of ``targets`` (segments begin at ``starts``).
+
+    Exact set-LCA via the ancestor-at-depth table: the common depth d* is the
+    largest d (<= every member's depth) at which all members' ancestors agree;
+    agreement at d implies agreement at all shallower depths, so per-level
+    segmented min==max checks suffice.
+    """
+    depth = tax.depth[targets]
+    dmin = np.minimum.reduceat(depth, starts)
+    nseg = len(starts)
+    d_star = np.zeros(nseg, dtype=np.int32)
+    for d in range(1, tax.anc.shape[1]):
+        a = tax.anc[targets, d]
+        agree = np.minimum.reduceat(a, starts) == np.maximum.reduceat(a, starts)
+        ok = agree & (d <= dmin)
+        d_star = np.where(ok, d, d_star)
+        if not ok.any():
+            break
+    return tax.anc[targets[starts], d_star]
+
+
+# ------------------------------------------------------------ k-mer table
+
+
+@dataclass
+class KmerTable:
+    """Exact (key -> merged target, saturating count) table."""
+
+    keys: np.ndarray  # uint64 sorted unique
+    target: np.ndarray  # int32 (post-LCA merge; <=1 or poisoned = dead)
+    count: np.ndarray  # int32, clipped at MAXREP (>= MAXREP -> poisoned)
+
+    def __len__(self):
+        return len(self.keys)
+
+
+class TableBuilder:
+    """Accumulates per-genome runs and consolidates by sort+reduce."""
+
+    def __init__(self, tax: Taxonomy, consolidate_bytes: int = 2 << 30):
+        self.tax = tax
+        self.runs: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        self.pending = 0
+        self.limit = consolidate_bytes
+
+    def add_genome(self, keys: np.ndarray, target: int) -> None:
+        uk, counts = np.unique(keys, return_counts=True)
+        counts = np.minimum(counts, MAXREP).astype(np.int32)
+        self.runs.append((uk, counts, np.full(len(uk), target, dtype=np.int32)))
+        self.pending += uk.nbytes * 2
+        if self.pending > self.limit:
+            self._consolidate()
+
+    def _consolidate(self) -> None:
+        if len(self.runs) <= 1:
+            return
+        keys = np.concatenate([r[0] for r in self.runs])
+        counts = np.concatenate([r[1] for r in self.runs])
+        targets = np.concatenate([r[2] for r in self.runs])
+        order = np.argsort(keys, kind="stable")
+        keys, counts, targets = keys[order], counts[order], targets[order]
+        starts = np.flatnonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))
+        uk = keys[starts]
+        ucount = np.minimum(np.add.reduceat(counts, starts), MAXREP).astype(np.int32)
+        utarg = segmented_lca(self.tax, starts, targets)
+        self.runs = [(uk, ucount, utarg)]
+        self.pending = uk.nbytes * 2
+
+    def finish(self) -> KmerTable:
+        self._consolidate()
+        if not self.runs:
+            z = np.zeros(0, dtype=np.uint64)
+            return KmerTable(z, z.astype(np.int32), z.astype(np.int32))
+        uk, ucount, utarg = self.runs[0]
+        self.runs = []
+        return KmerTable(uk, utarg, ucount)
+
+
+# ------------------------------------------------------------ genome access
+
+
+class GenomeResolver:
+    """Reference path-fallback conventions, per pass
+    (``kmer_build_vf6.cpp:750-773, 781-792, 806-828``)."""
+
+    def __init__(self, fdir: str, outdir: str):
+        self.fdir = fdir
+        self.outdir = outdir
+
+    def _cands(self, acc: str, pass_no: int):
+        f, o = self.fdir, self.outdir
+        if pass_no == 1:
+            return [
+                (os.path.join(f, acc + ".fasta.gz"), "gz"),
+                (os.path.join(o, acc + ".fasta.gz"), "gz"),
+                (os.path.join(f, acc + "_contigs.fasta"), "contigs"),
+            ]
+        if pass_no == 2:
+            return [
+                (os.path.join(o, acc + ".fasta.gz"), "gz"),
+                (os.path.join(f, acc + ".fasta.gz"), "gz"),
+            ]
+        return [
+            (os.path.join(f, acc + ".fasta.gz"), "gz"),
+            (os.path.join(o, acc + ".fna.gz"), "gz"),
+            (os.path.join(f, acc + "_contigs.fasta"), "contigs"),
+        ]
+
+    def load(self, acc: str, pass_no: int) -> str:
+        for path, kind in self._cands(acc, pass_no):
+            if os.path.exists(path):
+                if kind == "gz":
+                    return load_genome_gz(path)
+                return load_genome_contigs(path)
+        log(f"no file for {acc}")
+        raise SystemExit(1)  # kmer_build_vf6.cpp:772
+
+
+# ------------------------------------------------------------ main builder
+
+
+@dataclass
+class BuildResult:
+    records: ProbeRecords
+    pcount: np.ndarray  # int32 [num_targ]
+    num_targ: int
+    table_size: int
+
+
+def _load_builder_data(path) -> tuple[list[str], list[int]]:
+    """Builder data.txt loader with the failed-extraction re-push quirk."""
+    accession: list[str] = []
+    targno: list[int] = []
+    last_t, last_a = 0, ""
+    with open(path, "r", newline="") as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                try:
+                    last_t = int(parts[0])
+                    last_a = parts[1]
+                except ValueError:
+                    pass
+            accession.append(last_a)
+            targno.append(last_t)
+    return accession, targno
+
+
+def _load_filter(path) -> list[str]:
+    accs: list[str] = []
+    if not os.path.exists(path):
+        return accs
+    with open(path, "r", newline="") as f:
+        for line in f:
+            parts = line.split()
+            if parts:
+                accs.append(parts[0])
+    return accs
+
+
+def build_probes(
+    name: str,
+    fadir: str,
+    outdir: str = "",
+    root: str = ".",
+    cfg: BuildConfig | None = None,
+    resolver: GenomeResolver | None = None,
+) -> BuildResult:
+    """Run the 3-pass build for DB ``name`` (layout ``root/name/name_*``).
+
+    Writes ``<name>_probes.txt`` and ``<name>_count.txt`` next to the inputs,
+    mirroring the reference CLI contract (``-name``/``-fadir``).
+    """
+    cfg = cfg or BuildConfig()
+    wdir = os.path.join(root, name)
+    iname = os.path.join(wdir, f"{name}_data.txt")
+    tname = os.path.join(wdir, f"{name}_tree.txt")
+    fname = os.path.join(wdir, f"{name}_filter.txt")
+    oname = os.path.join(wdir, f"{name}_probes.txt")
+    cname = os.path.join(wdir, f"{name}_count.txt")
+    resolver = resolver or GenomeResolver(fadir, outdir)
+
+    out_accs = _load_filter(fname)
+    log(f"{len(out_accs)} outs loaded")
+    accession, targno = _load_builder_data(iname)
+    num_orgs = len(accession)
+    num_targ = max(targno, default=0) + 1
+    log(f"{num_orgs} sequences loaded")
+
+    ntargorgs = np.zeros(num_targ, dtype=np.int32)
+    for t in targno:
+        if t > 1:
+            ntargorgs[t] += 1  # direct counts: pre-tree walk quirk
+
+    edges = []
+    if os.path.exists(tname):
+        with open(tname, "r", newline="") as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 2:
+                    x, y = int(parts[0]), int(parts[1])
+                    if x < num_targ and y < num_targ:  # bounds-checked add_edge
+                        edges.append((x, y))
+    tax = Taxonomy.from_edges(edges, num_nodes=num_targ)
+    log("tree loaded")
+
+    # ---- pass 1: ingest ingroups
+    tb = TableBuilder(tax)
+    for i in range(num_orgs):
+        if targno[i] > 1:
+            genome = resolver.load(accession[i], 1)
+            keys, _, _ = canonical_kmers(encode_bases(genome))
+            tb.add_genome(keys, targno[i])
+            log(f"1 {i} {num_orgs} {accession[i]}", level=2)
+    table = tb.finish()
+    log(f"pass1 table: {len(table)} distinct kmers")
+
+    # ---- pass 2: outgroup subtraction
+    dead = (table.target <= 1) | (table.count >= MAXREP)
+    for i, acc in enumerate(out_accs):
+        genome = resolver.load(acc, 2)
+        keys, _, _ = canonical_kmers(encode_bases(genome))
+        uk = np.unique(keys)
+        idx = np.searchsorted(table.keys, uk)
+        present = (idx < len(table)) & (table.keys[np.minimum(idx, len(table) - 1)] == uk)
+        dead[idx[present]] = True
+        log(f"2 {i} {len(out_accs)} {acc}", level=2)
+    log(f"pass2 done: {int(dead.sum())} dead cells")
+
+    # ---- pass 3: gated emission
+    consumed = np.zeros(len(table), dtype=bool)
+    pcount = np.zeros(num_targ, dtype=np.int32)
+    # minct per table entry from the merged target (kmer_build_vf6.cpp:611-618)
+    nto = ntargorgs[np.clip(table.target, 0, num_targ - 1)]
+    minct = np.where(
+        nto == 1, 1, np.where(nto < 4, 2, np.where(nto < 10, nto - 2, nto // 5 + 1))
+    )
+    emittable = (~dead) & (table.target > 1) & (table.count >= minct)
+
+    out_rows: list[tuple[np.uint64, int, int, int, bool, int]] = []
+    for i in range(num_orgs):
+        if targno[i] <= 1:
+            continue
+        genome = resolver.load(accession[i], 3)
+        keys, gpos, fwd = canonical_kmers(encode_bases(genome))
+        if len(keys) == 0:
+            continue
+        # first occurrence of each distinct key within this genome's order
+        _, first_idx = np.unique(keys, return_index=True)
+        first_idx.sort()
+        k1, p1, f1 = keys[first_idx], gpos[first_idx], fwd[first_idx]
+        tidx = np.searchsorted(table.keys, k1)
+        present = (tidx < len(table)) & (
+            table.keys[np.minimum(tidx, len(table) - 1)] == k1
+        )
+        fresh = present & ~consumed[np.minimum(tidx, len(table) - 1)]
+        # destructive getHash: every queried present key is consumed
+        consumed[tidx[present]] = True
+        cand = fresh & emittable[np.minimum(tidx, len(table) - 1)]
+        ck, cp, cf, cti = k1[cand], p1[cand], f1[cand], tidx[cand]
+        ent_ok = check_entropy_keys(ck, cfg.min_entropy, cfg.max_homopolymer)
+        minpos = -1
+        for j in range(len(ck)):
+            t = int(table.target[cti[j]])
+            if cp[j] > minpos and pcount[t] < cfg.max_probes_per_target:
+                if ent_ok[j]:
+                    out_rows.append(
+                        (ck[j], t, i, int(cp[j]), bool(cf[j]), int(table.count[cti[j]]))
+                    )
+                    minpos = int(cp[j]) + KSIZE
+                    pcount[t] += 1
+        log(f"3 {i} {num_orgs} {accession[i]}", level=2)
+
+    records = ProbeRecords(
+        keys=np.array([r[0] for r in out_rows], dtype=np.uint64),
+        target=np.array([r[1] for r in out_rows], dtype=np.int32),
+        org=np.array([r[2] for r in out_rows], dtype=np.int32),
+        position=np.array([r[3] for r in out_rows], dtype=np.int32),
+        fstrand=np.array([r[4] for r in out_rows], dtype=bool),
+        count=np.array([r[5] for r in out_rows], dtype=np.int32),
+    )
+    write_probes_text(records, oname)
+    with open(cname, "w") as f:
+        for i in range(num_targ):
+            f.write(f"{i},{pcount[i]}\n")
+    log(f"probe count {len(records)}")
+    return BuildResult(records, pcount, num_targ, len(table))
