@@ -41,8 +41,9 @@ from kmer_id_tpu.ops.fold import fold_targets
 from kmer_id_tpu.ops.lookup import lookup_keys
 
 
-@partial(jax.jit, static_argnames=("bucket_bits", "want_fold"), donate_argnums=(0,))
-def _classify_kernel(seen, db, tax, codes, lengths, bucket_bits: int, want_fold: bool):
+def classify_core(seen, db, tax, codes, lengths, bucket_bits: int, want_fold: bool):
+    """Un-jitted kernel core, shared by the single-device engine, the
+    sharded engine (inside shard_map), and the graft entry point."""
     ex = extract_kmers(codes, lengths)
     idx, found = lookup_keys(db, ex["hi"], ex["lo"], bucket_bits=bucket_bits)
     found = found & ex["valid"]
@@ -55,6 +56,31 @@ def _classify_kernel(seen, db, tax, codes, lengths, bucket_bits: int, want_fold:
         final = fold_targets(tax["anc"], tax["depth"], tgt)
         return seen, final
     return seen, tgt
+
+
+@partial(jax.jit, static_argnames=("bucket_bits", "want_fold"), donate_argnums=(0,))
+def _classify_kernel(seen, db, tax, codes, lengths, bucket_bits: int, want_fold: bool):
+    return classify_core(seen, db, tax, codes, lengths, bucket_bits, want_fold)
+
+
+def fold_host(tax, targets: np.ndarray) -> int:
+    """Exact host-side ordered fold of an in-order window-target sequence.
+
+    Fast path: if every hit is an ancestor-or-self of the deepest hit, the
+    hit set lies on one root chain and the fold is order-free (= that
+    deepest hit); otherwise run the literal sequential msca fold
+    (newkmer_10nx.cpp:588-595) — the rare order-dependent case.
+    """
+    hits = targets[targets > 0]
+    if hits.size == 0:
+        return 0
+    deepest = int(hits[int(np.argmax(tax.depth[hits]))])
+    if bool(np.all(tax.is_anc_or_self(hits, deepest))):
+        return deepest
+    final = 0
+    for t in hits.tolist():
+        final = int(tax.msca(t, final)) if final > 0 else t
+    return final
 
 
 class Classifier:
@@ -140,18 +166,7 @@ class Classifier:
         return seen, self._fold_host(targets)
 
     def _fold_host(self, targets: np.ndarray) -> int:
-        """Exact host-side fold of an in-order window-target sequence."""
-        hits = targets[targets > 0]
-        if hits.size == 0:
-            return 0
-        tax = self.taxonomy
-        deepest = int(hits[int(np.argmax(tax.depth[hits]))])
-        if bool(np.all(tax.is_anc_or_self(hits, deepest))):
-            return deepest  # all hits on one root chain: order-free
-        final = 0
-        for t in hits.tolist():
-            final = int(tax.msca(t, final)) if final > 0 else t
-        return final
+        return fold_host(self.taxonomy, targets)
 
     # ------------------------------------------------------------ finalize
     def ucount(self, seen) -> np.ndarray:

@@ -1,10 +1,17 @@
 import os
 
 # Tests run on a virtual 8-device CPU mesh so sharding paths are exercised
-# without TPU hardware; must be set before jax imports.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# without TPU hardware.  The container's sitecustomize imports jax at
+# interpreter start with JAX_PLATFORMS=axon, so setting env vars here is too
+# late for the platform choice — override via jax.config instead (XLA_FLAGS
+# still applies because no CPU backend has been instantiated yet).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
