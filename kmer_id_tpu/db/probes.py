@@ -66,6 +66,7 @@ class PackedDB:
     num_targ: int
     bucket_bits: int = 0
     bucket_off: np.ndarray | None = None  # int32 [2**bucket_bits + 1]
+    max_bucket_len: int = 0  # widest bucket; bounds binary-search depth
 
     def __len__(self) -> int:
         return len(self.keys)
@@ -166,12 +167,14 @@ def pack_probes(
     n = len(keys)
     bb = _default_bucket_bits(n) if bucket_bits is None else bucket_bits
     bucket_off = None
+    max_bucket_len = n
     if bb > 0:
         # bucket id = top bb bits of the 60-bit key = hi >> (28 - bb)
         bucket = (hi >> np.uint32(28 - bb)).astype(np.int64)
         counts = np.bincount(bucket, minlength=(1 << bb))
         bucket_off = np.zeros((1 << bb) + 1, dtype=np.int32)
         np.cumsum(counts, out=bucket_off[1:])
+        max_bucket_len = int(counts.max(initial=0))
     return PackedDB(
         keys=keys,
         hi=hi,
@@ -183,6 +186,7 @@ def pack_probes(
         num_targ=int(num_targ),
         bucket_bits=bb,
         bucket_off=bucket_off,
+        max_bucket_len=max_bucket_len,
     )
 
 
@@ -210,6 +214,7 @@ def save_packed(db: PackedDB, out_dir) -> None:
         "num_probes": len(db),
         "num_targ": db.num_targ,
         "bucket_bits": db.bucket_bits,
+        "max_bucket_len": db.max_bucket_len,
         "key_digest": hashlib.sha256(db.keys.tobytes()).hexdigest()[:16],
     }
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
@@ -231,5 +236,9 @@ def load_packed(in_dir, mmap: bool = True) -> PackedDB:
         np.load(os.path.join(in_dir, "bucket_off.npy"), mmap_mode=mode) if bb > 0 else None
     )
     return PackedDB(
-        num_targ=int(manifest["num_targ"]), bucket_bits=bb, bucket_off=bucket_off, **arrs
+        num_targ=int(manifest["num_targ"]),
+        bucket_bits=bb,
+        bucket_off=bucket_off,
+        max_bucket_len=int(manifest.get("max_bucket_len", 0)),
+        **arrs,
     )

@@ -37,30 +37,74 @@ from kmer_id_tpu.core.taxonomy import Taxonomy
 from kmer_id_tpu.db.probes import PackedDB
 from kmer_id_tpu.io.batch import Batch, LongRead
 from kmer_id_tpu.ops.extract import extract_kmers
-from kmer_id_tpu.ops.fold import fold_targets
+from kmer_id_tpu.ops.fold import compact_hits, fold_targets
 from kmer_id_tpu.ops.lookup import lookup_keys
 
 
-def classify_core(seen, db, tax, codes, lengths, bucket_bits: int, want_fold: bool):
+def classify_core(seen, db, tax, codes, lengths, bucket_bits: int, mode: str,
+                  max_hits: int = 32, max_steps: int | None = None):
     """Un-jitted kernel core, shared by the single-device engine, the
-    sharded engine (inside shard_map), and the graft entry point."""
+    sharded engine (inside shard_map), and the graft entry point.
+
+    mode "compact": returns per-read hit summaries (scan-free; see
+    ops.fold.compact_hits) resolved to final calls host-side.
+    mode "targets": returns the raw [B, P] per-window target plane (used by
+    the long-read path and the overflow fallback).
+    """
     ex = extract_kmers(codes, lengths)
-    idx, found = lookup_keys(db, ex["hi"], ex["lo"], bucket_bits=bucket_bits)
+    idx, found = lookup_keys(
+        db, ex["hi"], ex["lo"], bucket_bits=bucket_bits, max_steps=max_steps
+    )
     found = found & ex["valid"]
     n = db["hi"].shape[0]
     safe = jnp.minimum(idx, max(n - 1, 0))
     tgt = jnp.where(found, jnp.take(db["target"], safe, axis=0), 0).astype(jnp.int32)
     scat = jnp.where(found & (tgt > 1), idx, n).reshape(-1)
     seen = seen.at[scat].set(1, mode="promise_in_bounds")
-    if want_fold:
-        final = fold_targets(tax["anc"], tax["depth"], tgt)
-        return seen, final
+    if mode == "compact":
+        return seen, compact_hits(tax["anc"], tax["depth"], tgt, max_hits)
     return seen, tgt
 
 
-@partial(jax.jit, static_argnames=("bucket_bits", "want_fold"), donate_argnums=(0,))
-def _classify_kernel(seen, db, tax, codes, lengths, bucket_bits: int, want_fold: bool):
-    return classify_core(seen, db, tax, codes, lengths, bucket_bits, want_fold)
+@partial(jax.jit, static_argnames=("bucket_bits", "mode", "max_hits", "max_steps"),
+         donate_argnums=(0,))
+def _classify_kernel(seen, db, tax, codes, lengths, bucket_bits: int, mode: str,
+                     max_hits: int = 32, max_steps: int | None = None):
+    return classify_core(
+        seen, db, tax, codes, lengths, bucket_bits, mode, max_hits, max_steps
+    )
+
+
+def resolve_finals(tax, summary: dict, get_targets) -> np.ndarray:
+    """Resolve per-read final calls from a device hit summary, exactly.
+
+    * no hits -> 0; consistent -> deepest (order-free, proven in
+      ops.fold.compact_hits);
+    * inconsistent with nhits <= max_hits -> sequential msca fold of the
+      compacted in-order hit list (newkmer_10nx.cpp:588-595);
+    * inconsistent overflow (rare) -> re-derive the full target plane via
+      ``get_targets()`` and fold it.
+    """
+    hits = np.asarray(summary["hits"])
+    nhits = np.asarray(summary["nhits"])
+    deepest = np.asarray(summary["deepest"])
+    consistent = np.asarray(summary["consistent"])
+    b, h = hits.shape
+    finals = np.where(nhits == 0, 0, deepest).astype(np.int32)
+    todo = np.nonzero(~consistent & (nhits > 0))[0]
+    full = None
+    for r in todo:
+        if nhits[r] <= h:
+            seq = hits[r, : nhits[r]]
+        else:
+            if full is None:
+                full = np.asarray(get_targets())
+            seq = full[r][full[r] > 0]
+        final = 0
+        for t in seq.tolist():
+            final = int(tax.msca(t, final)) if final > 0 else t
+        finals[r] = final
+    return finals
 
 
 def fold_host(tax, targets: np.ndarray) -> int:
@@ -98,8 +142,16 @@ class Classifier:
         self.n_probes = len(db)
         self.num_targ = db.num_targ
         self.bucket_bits = db.bucket_bits
+        import math as _math
+
+        self.max_steps = (
+            max(1, _math.ceil(_math.log2(db.max_bucket_len + 1)))
+            if db.bucket_bits > 0 and db.max_bucket_len > 0
+            else None
+        )
         self.batch_size = batch_size
         self.max_len = max_len
+        self.max_hits = 32
         self.taxonomy = taxonomy
         self.db_target_host = np.asarray(db.target)
         self._db = {
@@ -122,16 +174,27 @@ class Classifier:
     # ------------------------------------------------------------ steps
     def process_batch(self, seen, batch: Batch):
         """Classify one packed batch; returns (seen', final int32 [n_rows])."""
-        seen, final = _classify_kernel(
-            seen,
-            self._db,
-            self._tax,
-            jnp.asarray(batch.codes),
-            jnp.asarray(batch.lengths),
-            bucket_bits=self.bucket_bits,
-            want_fold=True,
+        codes = jnp.asarray(batch.codes)
+        lengths = jnp.asarray(batch.lengths)
+        seen, summary = _classify_kernel(
+            seen, self._db, self._tax, codes, lengths,
+            bucket_bits=self.bucket_bits, mode="compact",
+            max_hits=self.max_hits, max_steps=self.max_steps,
         )
-        return seen, np.asarray(final)[: batch.n_rows]
+
+        def get_targets():
+            # overflow fallback: re-derive the full target plane (the repeat
+            # seen-scatter is idempotent)
+            nonlocal seen
+            seen, tgt = _classify_kernel(
+                seen, self._db, self._tax, codes, lengths,
+                bucket_bits=self.bucket_bits, mode="targets",
+                max_steps=self.max_steps,
+            )
+            return tgt
+
+        finals = resolve_finals(self.taxonomy, summary, get_targets)
+        return seen, finals[: batch.n_rows]
 
     def process_long(self, seen, item: LongRead):
         """Classify one read longer than max_len; returns (seen', final)."""
@@ -157,7 +220,7 @@ class Classifier:
                 jnp.asarray(plane),
                 jnp.asarray(lengths),
                 bucket_bits=self.bucket_bits,
-                want_fold=False,
+                mode="targets",
             )
             tgt = np.asarray(tgt)
             for r, s in enumerate(group):

@@ -65,6 +65,44 @@ def msca_jnp(anc: jax.Array, depth: jax.Array, x: jax.Array, y: jax.Array) -> ja
     return jnp.where(y_anc_x, x, jnp.where(x_anc_y, y, lca_jnp(anc, depth, x, y)))
 
 
+def compact_hits(anc: jax.Array, depth: jax.Array, targets: jax.Array, max_hits: int):
+    """Scan-free per-read hit summarization (the production fold path).
+
+    For each read row of per-window targets (0 = miss), computes:
+
+    * ``hits`` int32 [B, max_hits] — the first ``max_hits`` hit targets in
+      window order (rank-compaction scatter, no sequential scan);
+    * ``nhits`` int32 [B] — total hits (may exceed ``max_hits``);
+    * ``deepest`` int32 [B] — a maximum-depth hit;
+    * ``consistent`` bool [B] — True iff every hit is an ancestor-or-self of
+      ``deepest``, i.e. the hit set lies on one root chain.  Then the
+      reference's sequential msca fold provably returns ``deepest``
+      (comparable pairs resolve to the deeper node at every step), so the
+      final call is order-free and fully resolved on device.
+
+    Inconsistent or overflowing rows (rare on real DBs, where probes are
+    spaced >= 31 bases apart per genome) are folded exactly on the host from
+    ``hits``/the full target plane; see engine.classify.resolve_finals.
+    """
+    b, p = targets.shape
+    t = targets.astype(jnp.int32)
+    hitm = t > 0
+    rank = jnp.cumsum(hitm.astype(jnp.int32), axis=1)
+    nhits = rank[:, -1]
+    slot = jnp.where(hitm & (rank <= max_hits), rank - 1, max_hits)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (b, p), 0)
+    hits = jnp.zeros((b, max_hits + 1), jnp.int32)
+    hits = hits.at[rows, slot].set(t, mode="promise_in_bounds")[:, :max_hits]
+
+    d = jnp.where(hitm, depth[jnp.clip(t, 0, depth.shape[0] - 1)], -1)
+    arg = jnp.argmax(d, axis=1)
+    deepest = jnp.take_along_axis(t, arg[:, None], axis=1)[:, 0]
+    anc_ok = _is_anc_or_self(anc, depth, jnp.clip(t, 0, anc.shape[0] - 1),
+                             jnp.clip(deepest[:, None], 0, anc.shape[0] - 1))
+    consistent = jnp.all(anc_ok | ~hitm, axis=1)
+    return {"hits": hits, "nhits": nhits, "deepest": deepest, "consistent": consistent}
+
+
 def fold_targets(
     anc: jax.Array,
     depth: jax.Array,

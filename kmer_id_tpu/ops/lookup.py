@@ -29,19 +29,24 @@ def _less2(ahi, alo, bhi, blo):
 
 
 def searchsorted2(db_hi: jax.Array, db_lo: jax.Array, q_hi: jax.Array, q_lo: jax.Array,
-                  lo0: jax.Array | None = None, hi0: jax.Array | None = None) -> jax.Array:
+                  lo0: jax.Array | None = None, hi0: jax.Array | None = None,
+                  steps: int | None = None) -> jax.Array:
     """Lower-bound index of each two-word query in a two-word sorted array.
 
     ``db_hi/db_lo`` are uint32 [N] sorted by the 60-bit key; ``q_hi/q_lo`` any
     shape.  Optional per-query ``lo0``/``hi0`` restrict the search range
-    (used with the bucket index).  Returns int32 indices in [0, N].
+    (used with the bucket index); ``steps`` bounds the bisection rounds (pass
+    ceil(log2(max_range+1)) when ranges are narrower than the whole array —
+    each round is 2 HBM gathers per query, the pipeline's dominant cost).
+    Returns int32 indices in [0, N].
     """
     n = db_hi.shape[0]
     lo = jnp.zeros(q_hi.shape, dtype=jnp.int32) if lo0 is None else lo0.astype(jnp.int32)
     hi = jnp.full(q_hi.shape, n, dtype=jnp.int32) if hi0 is None else hi0.astype(jnp.int32)
     if n == 0:
         return lo
-    steps = max(1, math.ceil(math.log2(n + 1)))
+    if steps is None:
+        steps = max(1, math.ceil(math.log2(n + 1)))
 
     def body(_, carry):
         lo, hi = carry
@@ -59,8 +64,9 @@ def searchsorted2(db_hi: jax.Array, db_lo: jax.Array, q_hi: jax.Array, q_lo: jax
     return lo
 
 
-@partial(jax.jit, static_argnames=("bucket_bits",))
-def lookup_keys(db, q_hi: jax.Array, q_lo: jax.Array, bucket_bits: int = 0):
+@partial(jax.jit, static_argnames=("bucket_bits", "max_steps"))
+def lookup_keys(db, q_hi: jax.Array, q_lo: jax.Array, bucket_bits: int = 0,
+                max_steps: int | None = None):
     """Look up query keys in a packed DB; returns (index, found).
 
     ``db`` is a dict with sorted ``hi``/``lo`` uint32 [N] and, when
@@ -77,9 +83,9 @@ def lookup_keys(db, q_hi: jax.Array, q_lo: jax.Array, bucket_bits: int = 0):
         off = db["bucket_off"]
         lo0 = jnp.take(off, b, axis=0)
         hi0 = jnp.take(off, b + 1, axis=0)
-        idx = searchsorted2(db_hi, db_lo, q_hi, q_lo, lo0, hi0)
+        idx = searchsorted2(db_hi, db_lo, q_hi, q_lo, lo0, hi0, steps=max_steps)
     else:
-        idx = searchsorted2(db_hi, db_lo, q_hi, q_lo)
+        idx = searchsorted2(db_hi, db_lo, q_hi, q_lo, steps=max_steps)
     safe = jnp.minimum(idx, n - 1) if n > 0 else idx
     if n == 0:
         return jnp.full(q_hi.shape, 0, jnp.int32), jnp.zeros(q_hi.shape, bool)

@@ -34,9 +34,9 @@ from kmer_id_tpu.core.taxonomy import Taxonomy
 from kmer_id_tpu.db.probes import PackedDB
 from kmer_id_tpu.io.batch import Batch, LongRead
 from kmer_id_tpu.ops.extract import extract_kmers
-from kmer_id_tpu.ops.fold import fold_targets
+from kmer_id_tpu.ops.fold import compact_hits
 from kmer_id_tpu.ops.lookup import lookup_keys
-from kmer_id_tpu.engine.classify import fold_host
+from kmer_id_tpu.engine.classify import fold_host, resolve_finals
 
 
 class ShardedClassifier:
@@ -92,7 +92,7 @@ class ShardedClassifier:
             P(None, None), P(None),  # anc, depth
         )
 
-        def step(db_hi, db_lo, db_tgt, seen, codes, lengths, anc, depth, want_fold):
+        def step(db_hi, db_lo, db_tgt, seen, codes, lengths, anc, depth, mode):
             ex = extract_kmers(codes, lengths)
             idx, found = lookup_keys({"hi": db_hi, "lo": db_lo}, ex["hi"], ex["lo"])
             found = found & ex["valid"]
@@ -103,24 +103,29 @@ class ShardedClassifier:
             tgt = jax.lax.psum(tgt_local, "db")
             scat = jnp.where(found & (tgt_local > 1), idx, nloc).reshape(-1)
             seen = seen.at[0, 0, scat].set(1, mode="promise_in_bounds")
-            if want_fold:
-                out = fold_targets(anc, depth, tgt)
+            if mode == "compact":
+                out = compact_hits(anc, depth, tgt, 32)
             else:
                 out = tgt
             return seen, out
 
-        def build(want_fold):
+        def build(mode):
+            out_spec = (
+                P("data", "db", None),
+                {"hits": P("data"), "nhits": P("data"), "deepest": P("data"),
+                 "consistent": P("data")} if mode == "compact" else P("data"),
+            )
             fn = shard_map(
-                partial(step, want_fold=want_fold),
+                partial(step, mode=mode),
                 mesh=mesh,
                 in_specs=ispec,
-                out_specs=(P("data", "db", None), P("data")),
+                out_specs=out_spec,
                 check_vma=False,
             )
             return jax.jit(fn, donate_argnums=(3,))
 
-        self._step_fold = build(True)
-        self._step_scan = build(False)
+        self._step_fold = build("compact")
+        self._step_scan = build("targets")
 
     # ------------------------------------------------------------ API
     def new_seen(self) -> jax.Array:
@@ -137,8 +142,15 @@ class ShardedClassifier:
         )
 
     def process_batch(self, seen, batch: Batch):
-        seen, final = self._call(self._step_fold, seen, batch.codes, batch.lengths)
-        return seen, np.asarray(final)[: batch.n_rows]
+        seen, summary = self._call(self._step_fold, seen, batch.codes, batch.lengths)
+
+        def get_targets():
+            nonlocal seen
+            seen, tgt = self._call(self._step_scan, seen, batch.codes, batch.lengths)
+            return tgt
+
+        finals = resolve_finals(self.taxonomy, summary, get_targets)
+        return seen, finals[: batch.n_rows]
 
     def process_long(self, seen, item: LongRead):
         codes = item.codes
