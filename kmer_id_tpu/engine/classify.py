@@ -26,6 +26,7 @@ otherwise the rare order-dependent case runs the literal sequential fold).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from functools import partial
 
 import jax
@@ -75,8 +76,21 @@ def _classify_kernel(seen, db, tax, codes, lengths, bucket_bits: int, mode: str,
     )
 
 
-def resolve_finals(tax, summary: dict, get_targets) -> np.ndarray:
+@dataclass
+class PendingBatch:
+    """In-flight device work for one batch."""
+
+    packed: object  # device [B, max_hits+3] i32 summary
+    codes: object
+    lengths: object
+    n_rows: int
+
+
+def resolve_finals(tax, summary, get_targets) -> np.ndarray:
     """Resolve per-read final calls from a device hit summary, exactly.
+
+    ``summary`` is the packed [B, max_hits+3] i32 plane from
+    ops.fold.compact_hits (cols: deepest, nhits, consistent, hits...).
 
     * no hits -> 0; consistent -> deepest (order-free, proven in
       ops.fold.compact_hits);
@@ -85,25 +99,34 @@ def resolve_finals(tax, summary: dict, get_targets) -> np.ndarray:
     * inconsistent overflow (rare) -> re-derive the full target plane via
       ``get_targets()`` and fold it.
     """
-    hits = np.asarray(summary["hits"])
-    nhits = np.asarray(summary["nhits"])
-    deepest = np.asarray(summary["deepest"])
-    consistent = np.asarray(summary["consistent"])
+    packed = np.asarray(summary)
+    deepest = packed[:, 0]
+    nhits = packed[:, 1]
+    consistent = packed[:, 2] != 0
+    hits = packed[:, 3:]
     b, h = hits.shape
     finals = np.where(nhits == 0, 0, deepest).astype(np.int32)
-    todo = np.nonzero(~consistent & (nhits > 0))[0]
-    full = None
-    for r in todo:
-        if nhits[r] <= h:
-            seq = hits[r, : nhits[r]]
-        else:
-            if full is None:
-                full = np.asarray(get_targets())
+    todo = np.nonzero(~consistent & (nhits > 0) & (nhits <= h))[0]
+    if len(todo):
+        # fold all inconsistent rows step-synchronously: one vectorized msca
+        # per hit slot instead of a Python loop per read
+        sub = hits[todo]
+        cur = np.zeros(len(todo), dtype=np.int32)
+        for k in range(int(nhits[todo].max())):
+            t = sub[:, k]
+            live = t > 0
+            merged = tax.msca(t, np.maximum(cur, 1))
+            cur = np.where(live, np.where(cur > 0, merged, t), cur)
+        finals[todo] = cur
+    overflow = np.nonzero(~consistent & (nhits > h))[0]
+    if len(overflow):
+        full = np.asarray(get_targets())
+        for r in overflow:
             seq = full[r][full[r] > 0]
-        final = 0
-        for t in seq.tolist():
-            final = int(tax.msca(t, final)) if final > 0 else t
-        finals[r] = final
+            final = 0
+            for t in seq.tolist():
+                final = int(tax.msca(t, final)) if final > 0 else t
+            finals[r] = final
     return finals
 
 
@@ -172,29 +195,48 @@ class Classifier:
         return jnp.zeros(self.n_probes + 1, dtype=jnp.int8)
 
     # ------------------------------------------------------------ steps
-    def process_batch(self, seen, batch: Batch):
-        """Classify one packed batch; returns (seen', final int32 [n_rows])."""
+    def submit_batch(self, seen, batch: Batch):
+        """Enqueue one batch on the device; returns (seen', PendingBatch).
+
+        Asynchronous by design: dispatch/transfer round-trip latency is the
+        dominant per-batch cost on remote-attached TPUs, so the sample loop
+        keeps several batches in flight and collects results later.
+        """
         codes = jnp.asarray(batch.codes)
         lengths = jnp.asarray(batch.lengths)
-        seen, summary = _classify_kernel(
+        seen, packed = _classify_kernel(
             seen, self._db, self._tax, codes, lengths,
             bucket_bits=self.bucket_bits, mode="compact",
             max_hits=self.max_hits, max_steps=self.max_steps,
         )
+        try:
+            packed.copy_to_host_async()  # overlap D2H with later batches
+        except AttributeError:
+            pass
+        return seen, PendingBatch(packed, codes, lengths, batch.n_rows)
+
+    def collect(self, seen, pending: "PendingBatch"):
+        """Resolve a pending batch to host finals; returns (seen', finals)."""
 
         def get_targets():
             # overflow fallback: re-derive the full target plane (the repeat
-            # seen-scatter is idempotent)
+            # seen-scatter is idempotent, so collecting after later
+            # submissions is safe)
             nonlocal seen
             seen, tgt = _classify_kernel(
-                seen, self._db, self._tax, codes, lengths,
+                seen, self._db, self._tax, pending.codes, pending.lengths,
                 bucket_bits=self.bucket_bits, mode="targets",
                 max_steps=self.max_steps,
             )
             return tgt
 
-        finals = resolve_finals(self.taxonomy, summary, get_targets)
-        return seen, finals[: batch.n_rows]
+        finals = resolve_finals(self.taxonomy, pending.packed, get_targets)
+        return seen, finals[: pending.n_rows]
+
+    def process_batch(self, seen, batch: Batch):
+        """Submit + collect (synchronous convenience path)."""
+        seen, pending = self.submit_batch(seen, batch)
+        return self.collect(seen, pending)
 
     def process_long(self, seen, item: LongRead):
         """Classify one read longer than max_len; returns (seen', final)."""

@@ -101,7 +101,16 @@ class SampleResult:
 
 
 class SampleProcessor:
-    """One sample = one counter-reset unit (``newkmer_10nx.cpp:1015-1045``)."""
+    """One sample = one counter-reset unit (``newkmer_10nx.cpp:1015-1045``).
+
+    Two feed paths produce identical results (asserted in tests):
+
+    * :meth:`feed` — pure-Python records through io/batch.ReadBatcher (the
+      behavioral reference, also the fallback without a C++ toolchain);
+    * :meth:`feed_file` — the native decoder fills [B, L] planes directly
+      (io/native_feed.py); per-read Python work shrinks to the final-call
+      accounting loop.
+    """
 
     def __init__(
         self,
@@ -109,7 +118,10 @@ class SampleProcessor:
         cfg: ClassifyConfig,
         reads_out: Optional[TextIO] = None,
         target_reads_out: Optional[TextIO] = None,
+        use_native: bool | None = None,
     ):
+        from kmer_id_tpu.io.native_feed import NativePlaneFeeder, native_available
+
         self.clf = clf
         self.cfg = cfg
         self.reads_out = reads_out
@@ -118,13 +130,48 @@ class SampleProcessor:
         self.reads = 0
         self.seen = clf.new_seen()
         self.batcher = ReadBatcher(clf.batch_size, clf.max_len, u_is_t=cfg.u_is_t)
+        self.native = native_available() if use_native is None else use_native
+        self._feeder = (
+            NativePlaneFeeder(clf.batch_size, clf.max_len, cfg.u_is_t)
+            if self.native
+            else None
+        )
+        from collections import deque
+
+        self._inflight = deque()
+        self.pipeline_depth = 4  # batches in flight hides dispatch latency
 
     def feed(self, records: Iterable) -> None:
         for acc, seq, qual in records:
             for item in self.batcher.add(acc, seq, qual):
                 self._consume(item)
 
+    def feed_file(self, path, fmt: str | None = None) -> None:
+        """Stream one read file (extension-dispatched, vf6:1133-1152;
+        pass ``fmt`` to force a parser like the nx driver's FASTQ mode)."""
+        if self._feeder is not None:
+            for nb in self._feeder.feed_path(str(path), fmt=fmt):
+                self._consume_native(nb)
+            return
+        from kmer_id_tpu.io import fastx
+        from kmer_id_tpu.io.native import detect_format
+
+        fmt = fmt or detect_format(str(path))
+        iters = {
+            "fastq_gz": fastx.iter_fastq_gz,
+            "fastq": fastx.iter_fastq_plain,
+            "fasta_gz": fastx.iter_fasta_gz,
+            "fasta": fastx.iter_fasta_plain,
+        }
+        if fmt in iters:
+            self.feed(iters[fmt](str(path)))
+
     def finish(self) -> SampleResult:
+        if self._feeder is not None:
+            for nb in self._feeder.flush():
+                self._consume_native(nb)
+        while self._inflight:
+            self._drain_one()
         for item in self.batcher.flush():
             self._consume(item)
         ucount = self.clf.ucount(self.seen)
@@ -137,24 +184,104 @@ class SampleProcessor:
             self._account(int(final), item.meta)
         else:
             self.seen, finals = self.clf.process_batch(self.seen, item)
+            metas = item.metas
             for i in range(item.n_rows):
-                self._account(int(finals[i]), item.metas[i])
+                self._account(int(finals[i]), metas[i])
 
-    def _account(self, final: int, meta) -> None:
+    def _consume_native(self, nb) -> None:
+        batch = nb.batch
+        for r in nb.long_rows:
+            batch.lengths[r] = 0  # placeholder row: handled via long path below
+        self.seen, pending = self.clf.submit_batch(self.seen, batch)
+        self._inflight.append((pending, nb))
+        while len(self._inflight) > self.pipeline_depth:
+            self._drain_one()
+
+    def _drain_one(self) -> None:
+        pending, nb = self._inflight.popleft()
+        self.seen, finals = self.clf.collect(self.seen, pending)
+        batch = nb.batch
+        metas = batch.metas
+        if not nb.long_rows:
+            self._account_batch(finals[: batch.n_rows], metas)
+            return
+        long_set = set(nb.long_rows)
+        for i in range(batch.n_rows):
+            if i in long_set:
+                meta = metas[i]
+                codes = metas.seq_codes(i, self.cfg.u_is_t)
+                # seen-scatter is a set union: interleaving with queued
+                # batches is safe, and account order stays exact
+                self.seen, final = self.clf.process_long(
+                    self.seen, LongRead(meta=meta, codes=codes)
+                )
+                self._account(int(final), meta)
+            else:
+                self._account(int(finals[i]), None, metas, i)
+
+    def _account_batch(self, finals: np.ndarray, metas) -> None:
+        """Vectorized per-batch accounting (common no-long-reads case).
+
+        Equivalent to calling _account row by row: the first-SAVENUM capture
+        decision for row i depends on gcount[final] counting *earlier* rows
+        only, reconstructed via per-target within-batch ranks.
+        """
+        cfg = self.cfg
+        finals = np.asarray(finals, dtype=np.int64)
+        n = len(finals)
+        valid = (finals >= 0) & (finals < len(self.gcount))
+        f = finals[valid]
+        want_main = (
+            self.reads_out is not None
+            and (cfg.variant == "nx" or cfg.save_target == 0)
+        )
+        want_target = self.target_reads_out is not None and cfg.save_target > 1
+        if want_main or want_target:
+            gt1 = np.nonzero(valid & (finals > 1))[0]
+            if len(gt1):
+                ff = finals[gt1]
+                order = np.argsort(ff, kind="stable")
+                sf = ff[order]
+                first = np.concatenate([[0], np.nonzero(sf[1:] != sf[:-1])[0] + 1])
+                starts = np.zeros(len(sf), dtype=np.int64)
+                starts[first] = np.arange(len(sf))[first]
+                np.maximum.accumulate(starts, out=starts)
+                rank = np.arange(len(sf)) - starts  # occurrences before, in batch
+                rank_unsorted = np.empty(len(sf), dtype=np.int64)
+                rank_unsorted[order] = rank
+                before = self.gcount[ff] + rank_unsorted
+                save_main_rows = gt1[(before < cfg.savenum)] if want_main else []
+                save_targ_rows = gt1[ff == cfg.save_target] if want_target else []
+                for i in sorted(set(list(save_main_rows)) | set(list(save_targ_rows))):
+                    meta = metas[int(i)]
+                    line = f">{finals[i]}:{meta.acc}\n{meta.trimmed_seq}\n"
+                    if want_main and i in set(list(save_main_rows)):
+                        self.reads_out.write(line)
+                    if want_target and i in set(list(save_targ_rows)):
+                        self.target_reads_out.write(line)
+        np.add.at(self.gcount, f, 1)
+        self.reads += n
+
+    def _account(self, final: int, meta, metas=None, i: int = -1) -> None:
         """Saved-read capture + gcount, in read order (newkmer_10nx.cpp:608-613)."""
         cfg = self.cfg
         if final > 1 and final < len(self.gcount):
-            if (
+            save_main = (
                 self.reads_out is not None
                 and self.gcount[final] < cfg.savenum
                 and (cfg.variant == "nx" or cfg.save_target == 0)
-            ):
-                self.reads_out.write(f">{final}:{meta.acc}\n{meta.trimmed_seq}\n")
-            if (
-                self.target_reads_out is not None
-                and final == cfg.save_target
-            ):
-                self.target_reads_out.write(f">{final}:{meta.acc}\n{meta.trimmed_seq}\n")
+            )
+            save_target = (
+                self.target_reads_out is not None and final == cfg.save_target
+            )
+            if save_main or save_target:
+                if meta is None:
+                    meta = metas[i]
+                line = f">{final}:{meta.acc}\n{meta.trimmed_seq}\n"
+                if save_main:
+                    self.reads_out.write(line)
+                if save_target:
+                    self.target_reads_out.write(line)
         if 0 <= final < len(self.gcount):
             self.gcount[final] += 1
         self.reads += 1
@@ -204,12 +331,12 @@ def run_nx(
         with open(rpath, "w") as reads_out:
             sp = SampleProcessor(clf, cfg, reads_out=reads_out)
             if fasta_mode:
-                sp.feed(iter_fasta_plain(os.path.join(fastq_dir, prefix + e1)))
+                sp.feed_file(os.path.join(fastq_dir, prefix + e1), fmt="fasta")
             else:
-                sp.feed(iter_fastq_gz(os.path.join(fastq_dir, prefix + e1)))
+                sp.feed_file(os.path.join(fastq_dir, prefix + e1), fmt="fastq_gz")
                 r2 = os.path.join(fastq_dir, prefix + e2)
                 if os.path.exists(r2):
-                    sp.feed(iter_fastq_gz(r2))
+                    sp.feed_file(r2, fmt="fastq_gz")
             result = sp.finish()
         write_result(os.path.join(fastq_dir, prefix + "_result.txt"), result)
         log(f"sample {prefix}: {result.reads} reads")
@@ -269,7 +396,7 @@ def run_vf6(
         try:
             sp = SampleProcessor(clf, cfg, reads_out=r_out, target_reads_out=t_out)
             for fl in files:
-                sp.feed(iter_reads_auto(fl))
+                sp.feed_file(fl)
             result = sp.finish()
         finally:
             r_out.close()
@@ -303,9 +430,9 @@ def run_m3(
         raise SystemExit(1)  # kmer_read_m3.cpp:1067
     clf = Classifier(db.packed, db.taxonomy, cfg.batch_size, cfg.max_len)
     sp = SampleProcessor(clf, cfg)  # m3 writes no read-capture files
-    sp.feed(iter_reads_auto(f1))
+    sp.feed_file(f1)
     if len(f2) > 1 and f2 != "none":
-        sp.feed(iter_reads_auto(f2))
+        sp.feed_file(f2)
     result = sp.finish()
     write_result(os.path.join(wdir, "result.txt"), result)
     return result

@@ -100,7 +100,18 @@ def compact_hits(anc: jax.Array, depth: jax.Array, targets: jax.Array, max_hits:
     anc_ok = _is_anc_or_self(anc, depth, jnp.clip(t, 0, anc.shape[0] - 1),
                              jnp.clip(deepest[:, None], 0, anc.shape[0] - 1))
     consistent = jnp.all(anc_ok | ~hitm, axis=1)
-    return {"hits": hits, "nhits": nhits, "deepest": deepest, "consistent": consistent}
+    # Pack into ONE [B, max_hits+3] i32 plane: a single device->host transfer
+    # per batch (tiny separate transfers are pathologically slow through some
+    # PJRT transports).  Columns: 0=deepest, 1=nhits, 2=consistent, 3:=hits.
+    return jnp.concatenate(
+        [
+            deepest[:, None].astype(jnp.int32),
+            nhits[:, None].astype(jnp.int32),
+            consistent[:, None].astype(jnp.int32),
+            hits,
+        ],
+        axis=1,
+    )
 
 
 def fold_targets(

@@ -39,6 +39,17 @@ from kmer_id_tpu.ops.lookup import lookup_keys
 from kmer_id_tpu.engine.classify import fold_host, resolve_finals
 
 
+from dataclasses import dataclass
+
+
+@dataclass
+class _ShardedPending:
+    packed: object
+    codes: object
+    lengths: object
+    n_rows: int
+
+
 class ShardedClassifier:
     """Drop-in for engine.Classifier, spread over a (data, db) mesh."""
 
@@ -110,16 +121,11 @@ class ShardedClassifier:
             return seen, out
 
         def build(mode):
-            out_spec = (
-                P("data", "db", None),
-                {"hits": P("data"), "nhits": P("data"), "deepest": P("data"),
-                 "consistent": P("data")} if mode == "compact" else P("data"),
-            )
             fn = shard_map(
                 partial(step, mode=mode),
                 mesh=mesh,
                 in_specs=ispec,
-                out_specs=out_spec,
+                out_specs=(P("data", "db", None), P("data")),
                 check_vma=False,
             )
             return jax.jit(fn, donate_argnums=(3,))
@@ -141,16 +147,24 @@ class ShardedClassifier:
             self._anc, self._depth,
         )
 
-    def process_batch(self, seen, batch: Batch):
-        seen, summary = self._call(self._step_fold, seen, batch.codes, batch.lengths)
+    def submit_batch(self, seen, batch: Batch):
+        seen, packed = self._call(self._step_fold, seen, batch.codes, batch.lengths)
+        return seen, _ShardedPending(packed, batch.codes, batch.lengths, batch.n_rows)
 
+    def collect(self, seen, pending):
         def get_targets():
             nonlocal seen
-            seen, tgt = self._call(self._step_scan, seen, batch.codes, batch.lengths)
+            seen, tgt = self._call(
+                self._step_scan, seen, pending.codes, pending.lengths
+            )
             return tgt
 
-        finals = resolve_finals(self.taxonomy, summary, get_targets)
-        return seen, finals[: batch.n_rows]
+        finals = resolve_finals(self.taxonomy, pending.packed, get_targets)
+        return seen, finals[: pending.n_rows]
+
+    def process_batch(self, seen, batch: Batch):
+        seen, pending = self.submit_batch(seen, batch)
+        return self.collect(seen, pending)
 
     def process_long(self, seen, item: LongRead):
         codes = item.codes
