@@ -28,6 +28,12 @@ class ClassifyConfig:
     max_len: int = 512
     bucket_bits: int | None = None  # None: auto from DB size
 
+    # alignment verification (disabled in all shipped reference configs;
+    # newkmer_10nx.cpp:27)
+    minalign: int = 0
+    fadir: str = ""  # genome dir for verification (accession.fasta.gz)
+    accessions: list | None = None  # org index -> accession
+
     # sharding
     mesh_shape: tuple = ()  # e.g. (("data", 4), ("db", 2)); empty = single device
     db_mode: str = "replicated"  # replicated | sharded

@@ -68,6 +68,15 @@ class PackedDB:
     bucket_bits: int = 0
     bucket_off: np.ndarray | None = None  # int32 [2**bucket_bits + 1]
     max_bucket_len: int = 0  # widest bucket; bounds binary-search depth
+    _cuckoo: object = None  # lazy CuckooTable (db/cuckoo.py)
+
+    def cuckoo(self):
+        """Cuckoo layout for the 2-gather device lookup (built lazily)."""
+        if self._cuckoo is None:
+            from kmer_id_tpu.db.cuckoo import build_cuckoo
+
+            self._cuckoo = build_cuckoo(self.hi, self.lo, self.target)
+        return self._cuckoo
 
     def __len__(self) -> int:
         return len(self.keys)
@@ -278,9 +287,15 @@ def save_packed(db: PackedDB, out_dir) -> None:
         np.save(os.path.join(out_dir, f"{name}.npy"), getattr(db, name))
     if db.bucket_off is not None:
         np.save(os.path.join(out_dir, "bucket_off.npy"), db.bucket_off)
+    ck = db.cuckoo()
+    np.save(os.path.join(out_dir, "cuckoo.npy"), ck.table)
+    ck = db.cuckoo()
     manifest = {
         "magic": _MAGIC,
         "version": _VERSION,
+        "cuckoo_nb": ck.nb,
+        "cuckoo_s1": ck.s1,
+        "cuckoo_s2": ck.s2,
         "ksize": KSIZE,
         "num_probes": len(db),
         "num_targ": db.num_targ,
@@ -306,10 +321,22 @@ def load_packed(in_dir, mmap: bool = True) -> PackedDB:
     bucket_off = (
         np.load(os.path.join(in_dir, "bucket_off.npy"), mmap_mode=mode) if bb > 0 else None
     )
+    cuckoo = None
+    ck_path = os.path.join(in_dir, "cuckoo.npy")
+    if "cuckoo_nb" in manifest and os.path.exists(ck_path):
+        from kmer_id_tpu.db.cuckoo import CuckooTable
+
+        cuckoo = CuckooTable(
+            table=np.load(ck_path, mmap_mode=mode),
+            nb=int(manifest["cuckoo_nb"]),
+            s1=int(manifest["cuckoo_s1"]),
+            s2=int(manifest["cuckoo_s2"]),
+        )
     return PackedDB(
         num_targ=int(manifest["num_targ"]),
         bucket_bits=bb,
         bucket_off=bucket_off,
         max_bucket_len=int(manifest.get("max_bucket_len", 0)),
+        _cuckoo=cuckoo,
         **arrs,
     )

@@ -39,7 +39,7 @@ from kmer_id_tpu.db.probes import PackedDB
 from kmer_id_tpu.io.batch import Batch, LongRead
 from kmer_id_tpu.ops.extract import extract_kmers
 from kmer_id_tpu.ops.fold import compact_hits, fold_targets
-from kmer_id_tpu.ops.lookup import lookup_keys
+from kmer_id_tpu.ops.lookup import cuckoo_lookup, lookup_keys
 
 
 def classify_core(seen, db, tax, codes, lengths, bucket_bits: int, mode: str,
@@ -53,13 +53,30 @@ def classify_core(seen, db, tax, codes, lengths, bucket_bits: int, mode: str,
     the long-read path and the overflow fallback).
     """
     ex = extract_kmers(codes, lengths)
-    idx, found = lookup_keys(
-        db, ex["hi"], ex["lo"], bucket_bits=bucket_bits, max_steps=max_steps
-    )
+    if "cuckoo" in db:
+        tgt0, idx, found = cuckoo_lookup(db, ex["hi"], ex["lo"])
+        n = db["n_probes"]  # traced scalar; used only as the miss sentinel
+    else:
+        idx, found = lookup_keys(
+            db, ex["hi"], ex["lo"], bucket_bits=bucket_bits, max_steps=max_steps
+        )
+        tgt0 = None
+        n = db["hi"].shape[0]
     found = found & ex["valid"]
-    n = db["hi"].shape[0]
-    safe = jnp.minimum(idx, max(n - 1, 0))
-    tgt = jnp.where(found, jnp.take(db["target"], safe, axis=0), 0).astype(jnp.int32)
+    if mode == "detail":
+        # verification replay (engine/verify.py): per-window hit index with
+        # the read-strand sign, plus key words; no seen scatter (unique-kmer
+        # accounting moves host-side because rejected hits must not count)
+        sign = jnp.where(ex["fstrand"], 1, -1).astype(jnp.int32)
+        detail = jnp.where(found, (idx + 1) * sign, 0)
+        return seen, (detail, ex["hi"], ex["lo"])
+    if tgt0 is not None:
+        tgt = jnp.where(found, tgt0, 0)
+    else:
+        safe = jnp.minimum(idx, max(n - 1, 0))
+        tgt = jnp.where(found, jnp.take(db["target"], safe, axis=0), 0).astype(
+            jnp.int32
+        )
     scat = jnp.where(found & (tgt > 1), idx, n).reshape(-1)
     seen = seen.at[scat].set(1, mode="promise_in_bounds")
     if mode == "compact":
@@ -159,6 +176,7 @@ class Classifier:
         taxonomy: Taxonomy,
         batch_size: int = 1024,
         max_len: int = 512,
+        use_cuckoo: bool = True,
     ):
         if len(db) == 0:
             raise ValueError("cannot classify against an empty probe DB")
@@ -176,6 +194,7 @@ class Classifier:
         self.max_len = max_len
         self.max_hits = 32
         self.taxonomy = taxonomy
+        self.packed_db = db
         self.db_target_host = np.asarray(db.target)
         self._db = {
             "hi": jnp.asarray(np.asarray(db.hi)),
@@ -184,6 +203,15 @@ class Classifier:
         }
         if db.bucket_bits > 0:
             self._db["bucket_off"] = jnp.asarray(np.asarray(db.bucket_off))
+        if use_cuckoo:
+            ck = db.cuckoo()
+            self._db = {
+                "cuckoo": jnp.asarray(ck.table),
+                "n_probes": jnp.int32(self.n_probes),
+                "cuckoo_s1": jnp.uint32(ck.s1),
+                "cuckoo_s2": jnp.uint32(ck.s2),
+                "target": self._db["target"],
+            }
         self._tax = {
             "anc": jnp.asarray(taxonomy.anc),
             "depth": jnp.asarray(taxonomy.depth),
@@ -237,6 +265,17 @@ class Classifier:
         """Submit + collect (synchronous convenience path)."""
         seen, pending = self.submit_batch(seen, batch)
         return self.collect(seen, pending)
+
+    def detail_batch(self, seen, batch: Batch):
+        """Per-window hit detail for the verification replay path."""
+        seen, (detail, hi, lo) = _classify_kernel(
+            seen, self._db, self._tax,
+            jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
+            bucket_bits=self.bucket_bits, mode="detail",
+            max_steps=self.max_steps,
+        )
+        keys = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) | np.asarray(lo)
+        return seen, np.asarray(detail), keys
 
     def process_long(self, seen, item: LongRead):
         """Classify one read longer than max_len; returns (seen', final)."""

@@ -140,6 +140,18 @@ class SampleProcessor:
 
         self._inflight = deque()
         self.pipeline_depth = 4  # batches in flight hides dispatch latency
+        self._verify = None
+        if cfg.minalign > 0:
+            from kmer_id_tpu.engine.verify import AlignVerifier, GenomeCache
+
+            genomes = GenomeCache(
+                cfg.fadir, cfg.accessions or [], u_is_t=cfg.u_is_t
+            )
+            self._verify = {
+                "verifier": AlignVerifier(genomes, clf.packed_db, cfg.minalign),
+                "ucount": np.zeros(clf.num_targ, dtype=np.int64),
+                "kmer_seen": set(),
+            }
 
     def feed(self, records: Iterable) -> None:
         for acc, seq, qual in records:
@@ -174,11 +186,17 @@ class SampleProcessor:
             self._drain_one()
         for item in self.batcher.flush():
             self._consume(item)
-        ucount = self.clf.ucount(self.seen)
+        if self._verify is not None:
+            ucount = self._verify["ucount"]
+        else:
+            ucount = self.clf.ucount(self.seen)
         return SampleResult(gcount=self.gcount, ucount=ucount, reads=self.reads)
 
     # ------------------------------------------------------------ internals
     def _consume(self, item) -> None:
+        if self._verify is not None and isinstance(item, Batch):
+            self._replay_verify(item)
+            return
         if isinstance(item, LongRead):
             self.seen, final = self.clf.process_long(self.seen, item)
             self._account(int(final), item.meta)
@@ -189,6 +207,9 @@ class SampleProcessor:
                 self._account(int(finals[i]), metas[i])
 
     def _consume_native(self, nb) -> None:
+        if self._verify is not None:
+            self._replay_verify(nb.batch)
+            return
         batch = nb.batch
         for r in nb.long_rows:
             batch.lengths[r] = 0  # placeholder row: handled via long path below
@@ -218,6 +239,22 @@ class SampleProcessor:
                 self._account(int(final), meta)
             else:
                 self._account(int(finals[i]), None, metas, i)
+
+    def _replay_verify(self, batch) -> None:
+        """Exact minalign>0 replay (engine/verify.py) — sequential by design."""
+        from kmer_id_tpu.engine.verify import replay_read
+
+        v = self._verify
+        self.seen, detail, keys = self.clf.detail_batch(self.seen, batch)
+        metas = batch.metas
+        for i in range(batch.n_rows):
+            meta = metas[i]
+            final = replay_read(
+                self.clf.taxonomy, self.clf.packed_db, detail[i],
+                meta.trimmed_seq, len(meta.trimmed_seq), v["verifier"],
+                self.gcount, v["ucount"], v["kmer_seen"], keys[i],
+            )
+            self._account(final, meta)
 
     def _account_batch(self, finals: np.ndarray, metas) -> None:
         """Vectorized per-batch accounting (common no-long-reads case).

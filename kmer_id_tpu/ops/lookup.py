@@ -95,3 +95,43 @@ def lookup_keys(db, q_hi: jax.Array, q_lo: jax.Array, bucket_bits: int = 0,
         & (jnp.take(db_lo, safe, axis=0) == q_lo)
     )
     return jnp.where(hit, idx, n), hit
+
+
+# ------------------------------------------------------------ cuckoo path
+
+
+def _mix32_jnp(a, b, s1, s2):
+    x = a ^ (b * s1)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x2C1B3C6D)
+    x = x ^ (x >> 12)
+    x = x * s2
+    return x ^ (x >> 16)
+
+
+def cuckoo_lookup(db, q_hi: jax.Array, q_lo: jax.Array):
+    """Two-row-gather lookup over a cuckoo DB (db/cuckoo.py layout).
+
+    Returns (target, index, found): ``index`` is the probe's position in the
+    canonical sorted order (carried in the slot rows), ``n`` sentinel on miss
+    — drop-in for the sorted-array contract.
+    """
+    table = db["cuckoo"]  # uint32 [nb, 16]
+    nb = table.shape[0]
+    # n / salts may be traced scalars (they ride in the arg pytree)
+    n = db["n_probes"]
+    s1 = jnp.uint32(db["cuckoo_s1"])
+    s2 = jnp.uint32(db["cuckoo_s2"])
+    mask = jnp.uint32(nb - 1)
+    h1 = (_mix32_jnp(q_hi, q_lo, s1, s2) & mask).astype(jnp.int32)
+    h2 = (_mix32_jnp(q_lo, q_hi, s1, s2) & mask).astype(jnp.int32)
+    r1 = jnp.take(table, h1, axis=0)
+    r2 = jnp.take(table, h2, axis=0)
+    rows = jnp.concatenate([r1, r2], axis=-1).reshape(*q_hi.shape, 8, 4)
+    hit = (rows[..., 0] == q_hi[..., None]) & (rows[..., 1] == q_lo[..., None])
+    found = hit.any(-1)
+    slot = jnp.argmax(hit, axis=-1)
+    row = jnp.take_along_axis(rows, slot[..., None, None], axis=-2)[..., 0, :]
+    tgt = jnp.where(found, row[..., 2].astype(jnp.int32), 0)
+    idx = jnp.where(found, row[..., 3].astype(jnp.int32), n)
+    return tgt, idx, found
