@@ -98,6 +98,8 @@ class SampleResult:
     gcount: np.ndarray  # int64 [num_targ]
     ucount: np.ndarray  # int64 [num_targ]
     reads: int  # processed read count (tct analog)
+    wall_s: float = 0.0
+    stage_s: dict = field(default_factory=dict)
 
 
 class SampleProcessor:
@@ -138,8 +140,12 @@ class SampleProcessor:
         )
         from collections import deque
 
+        from kmer_id_tpu.utils.timing import StageTimers
+
         self._inflight = deque()
         self.pipeline_depth = 4  # batches in flight hides dispatch latency
+        self.timers = StageTimers()
+        self._t_start = __import__("time").monotonic()
         self._verify = None
         if cfg.minalign > 0:
             from kmer_id_tpu.engine.verify import AlignVerifier, GenomeCache
@@ -162,8 +168,9 @@ class SampleProcessor:
         """Stream one read file (extension-dispatched, vf6:1133-1152;
         pass ``fmt`` to force a parser like the nx driver's FASTQ mode)."""
         if self._feeder is not None:
-            for nb in self._feeder.feed_path(str(path), fmt=fmt):
-                self._consume_native(nb)
+            with self.timers.stage("decode+classify"):
+                for nb in self._feeder.feed_path(str(path), fmt=fmt):
+                    self._consume_native(nb)
             return
         from kmer_id_tpu.io import fastx
         from kmer_id_tpu.io.native import detect_format
@@ -189,8 +196,23 @@ class SampleProcessor:
         if self._verify is not None:
             ucount = self._verify["ucount"]
         else:
-            ucount = self.clf.ucount(self.seen)
-        return SampleResult(gcount=self.gcount, ucount=ucount, reads=self.reads)
+            with self.timers.stage("finalize"):
+                ucount = self.clf.ucount(self.seen)
+        import time as _time
+
+        wall = _time.monotonic() - self._t_start
+        classified = int(self.reads - (self.gcount[0] if len(self.gcount) else 0))
+        log(
+            f"sample done: {self.reads} reads in {wall:.2f}s "
+            f"({self.reads / max(wall, 1e-9):,.0f} r/s, "
+            f"{100.0 * classified / max(self.reads, 1):.1f}% classified) "
+            f"stages={self.timers.summary()}",
+            level=2,
+        )
+        return SampleResult(
+            gcount=self.gcount, ucount=ucount, reads=self.reads,
+            wall_s=wall, stage_s=self.timers.summary(),
+        )
 
     # ------------------------------------------------------------ internals
     def _consume(self, item) -> None:
