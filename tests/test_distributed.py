@@ -20,6 +20,7 @@ def test_sample_queue_claims_and_restart(tmp_path):
     q2 = SampleQueue(mpath, ["s1", "s2", "s3"])
     c = q2.claim("w3")
     assert c == "s3"
+    q2.complete(c)
     assert q2.claim("w3") is None  # s2 still claimed, nothing pending
     stale = q2.reclaim_stale(timeout_s=0.0)
     assert stale == [b]
