@@ -227,8 +227,7 @@ def _reference_baseline(meta) -> float:
 
 def _our_throughput(meta) -> tuple[float, dict]:
     from kmer_id_tpu.config import ClassifyConfig
-    from kmer_id_tpu.engine.classify import Classifier
-    from kmer_id_tpu.engine.pipeline import SampleProcessor, load_db
+    from kmer_id_tpu.engine.pipeline import SampleProcessor, load_db, make_classifier
     from kmer_id_tpu.io.fastx import iter_fastq_gz
 
     wdir = meta["wdir"]
@@ -244,7 +243,7 @@ def _our_throughput(meta) -> tuple[float, dict]:
     log(f"DB load: {t_load:.1f}s ({len(db.packed)} probes)")
 
     cfg = ClassifyConfig.preset("vf6", batch_size=8192, max_len=160)
-    clf = Classifier(db.packed, db.taxonomy, cfg.batch_size, cfg.max_len)
+    clf = make_classifier(db, cfg, cache_dir=os.path.join(CACHE, "packed"))
 
     # warmup: compile on a small slice
     warm = SampleProcessor(clf, cfg)

@@ -40,9 +40,9 @@ def _make_classifier(db, cfg, args):
         return ShardedClassifier(
             db.packed, db.taxonomy, mesh, cfg.batch_size, cfg.max_len
         )
-    from kmer_id_tpu.engine.classify import Classifier
+    from kmer_id_tpu.engine.pipeline import make_classifier
 
-    return Classifier(db.packed, db.taxonomy, cfg.batch_size, cfg.max_len)
+    return make_classifier(db, cfg, cache_dir=getattr(args, "cache_dir", None))
 
 
 def main(argv=None):

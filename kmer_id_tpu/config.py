@@ -27,6 +27,7 @@ class ClassifyConfig:
     batch_size: int = 1024
     max_len: int = 512
     bucket_bits: int | None = None  # None: auto from DB size
+    engine: str = "fp"  # fp (fingerprint, production) | legacy (sorted/cuckoo)
 
     # alignment verification (disabled in all shipped reference configs;
     # newkmer_10nx.cpp:27)

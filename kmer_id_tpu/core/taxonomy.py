@@ -55,6 +55,7 @@ class Taxonomy:
         self.num_nodes = n
         self.depth, self.anc = self._build_tables(parent)
         self.max_depth = int(self.depth.max())
+        self.tin, self.tout = self._euler_intervals(parent, self.depth)
 
     # ------------------------------------------------------------- build
     @classmethod
@@ -123,6 +124,43 @@ class Taxonomy:
             cur = parent[cur]
             cd = cd - 1
         return depth, anc
+
+    @staticmethod
+    def _euler_intervals(parent: np.ndarray, depth: np.ndarray):
+        """DFS interval labels: ``tin[y] <= tin[x] <= tout[y]`` ⇔ y is an
+        ancestor-or-self of x.
+
+        These turn every ancestor test into pure elementwise compares, so the
+        classify kernel can carry per-probe (tin, tout, depth) in its gathered
+        payload and run the whole per-read consistency check without touching
+        the ancestor table (zero taxonomy gathers on device; see db/fpdb.py).
+        """
+        n = parent.shape[0]
+        # children grouped by parent via one sort (node 0 and the root are
+        # their own get_parent()-roots; exclude them as children of ROOT to
+        # avoid cycles — node 0 is handled as a standalone leaf under ROOT).
+        nodes = np.arange(n, dtype=np.int64)
+        par = parent.astype(np.int64).copy()
+        par[ROOT] = -1  # root owns the traversal
+        order = np.argsort(par, kind="stable")
+        starts = np.searchsorted(par[order], nodes)
+        ends = np.searchsorted(par[order], nodes, side="right")
+        tin = np.zeros(n, dtype=np.int64)
+        tout = np.zeros(n, dtype=np.int64)
+        t = 0
+        stack = [(ROOT, False)]
+        while stack:
+            node, done = stack.pop()
+            if done:
+                tout[node] = t - 1
+                continue
+            tin[node] = t
+            t += 1
+            stack.append((node, True))
+            for c in order[starts[node]:ends[node]][::-1]:
+                if c != node:
+                    stack.append((int(c), False))
+        return tin.astype(np.int32), tout.astype(np.int32)
 
     # ------------------------------------------------------------- queries
     def _clip(self, x: np.ndarray) -> np.ndarray:

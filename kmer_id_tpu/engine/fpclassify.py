@@ -1,0 +1,298 @@
+"""Fingerprint-engine classifier: the production single-chip hot path.
+
+Per batch, ONE jit-compiled program (static [B, L]):
+
+    packed 2-bit bases ──unpack──► codes ──extract──► (hi,lo,valid) [B,P]
+      ──fingerprint stage (2 narrow gathers, ops/lookup.fp_candidates)──►
+      candidate slots ──sort-compact (window order)──► [B, max_hits]
+      ──verify gather (rec rows: key + tin/tout/depth payload)──►
+      per-read summary [B, 3+max_hits] (deepest slot, nhits, flags, slot list)
+
+Design notes vs engine/classify.Classifier (the legacy sorted/cuckoo engine):
+
+* **H2D is the system bottleneck** on tunneled TPUs (~20 MB/s measured), so
+  reads cross the PCIe/tunnel as 2-bit packed words + a sparse exception list
+  for non-ACGT bases (io/batch.py pack_codes) — ~4x fewer bytes than the u8
+  code plane.
+* All taxonomy work rides in the 16-byte verify row (db/fpdb.py): the
+  consistency test `every hit is an ancestor-or-self of the deepest hit`
+  becomes elementwise interval math — zero ancestor-table gathers.
+* The unique-k-mer ``seen`` set (``newkmer_10nx.cpp:596-603``) lives on the
+  HOST as a slot-id bitmap fed by the returned verified slot lists: the
+  device never scatters, and ucount stays exact because each DB key owns
+  exactly one slot.
+* Compaction is a single jnp.sort on (window_pos << slot_bits | slot) — no
+  scatter; entries stay in window order so the rare inconsistent read can be
+  folded exactly (ordered msca, newkmer_10nx.cpp:588-595) on the host.
+* Reads whose *candidate* count exceeds max_hits (can only exceed the true
+  hit count via ~2^-16 fingerprint flukes) and long reads use the per-window
+  "slots" kernel — exact, self-contained fallbacks on the same tables.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kmer_id_tpu.core.codec import KSIZE
+from kmer_id_tpu.core.taxonomy import Taxonomy
+from kmer_id_tpu.db.fpdb import FpDB, build_fpdb
+from kmer_id_tpu.db.probes import PackedDB
+from kmer_id_tpu.engine.classify import PendingBatch, fold_host
+from kmer_id_tpu.io.batch import Batch, LongRead
+from kmer_id_tpu.ops.extract import extract_kmers
+from kmer_id_tpu.ops.lookup import fp_candidates
+
+
+def unpack_codes(packed: jax.Array, exc: jax.Array, l: int) -> jax.Array:
+    """2-bit words + exception list -> uint8 code plane [B, L].
+
+    ``packed`` uint32 [B, ceil(L/16)], base i of a row at word i>>4, bits
+    (i&15)*2.  ``exc`` int32 [E]: flat row*L+pos of non-ACGT bases (-1 pad);
+    those positions are raised to the invalid code 4 via scatter-max (the
+    no-op pad value 0 never changes a 2-bit code).
+    """
+    b, w = packed.shape
+    shifts = (jnp.arange(16, dtype=jnp.uint32) * 2)[None, None, :]
+    codes = ((packed[:, :, None] >> shifts) & jnp.uint32(3)).astype(jnp.uint8)
+    codes = codes.reshape(b, w * 16)[:, :l]
+    flat = codes.reshape(-1)
+    idx = jnp.clip(exc, 0, flat.shape[0] - 1)
+    val = jnp.where(exc >= 0, jnp.uint8(4), jnp.uint8(0))
+    flat = flat.at[idx].max(val, mode="promise_in_bounds")
+    return flat.reshape(b, l)
+
+
+def fp_summary(db, ex, max_hits: int):
+    """Candidate compaction + verify + per-read summary (see module doc).
+
+    Returns int32 [B, 3+max_hits]: col0 deepest-hit slot (-1 if none), col1
+    verified hit count, col2 flags (bit0 consistent, bit1 candidate
+    overflow), col3.. verified slot ids in window order (-1 holes where a
+    false candidate was rejected).
+    """
+    hi, lo, valid = ex["hi"], ex["lo"], ex["valid"]
+    b, p = hi.shape
+    rec = db["rec"]
+    nslots = rec.shape[0]
+    sb = max(1, int(math.ceil(math.log2(nslots))))
+    if p > 511 or 9 + sb > 31:
+        raise ValueError(
+            f"fp summary packing limits exceeded (P={p}, slot_bits={sb}); "
+            "use a shorter max_len or the sharded engine for >2^22-slot DBs"
+        )
+    cand1, c1v, cand2, c2v = fp_candidates(db, hi, lo, valid)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, p), 1)
+    sent = jnp.int32(np.int32(2**31 - 1))
+    e1 = jnp.where(c1v, (pos << sb) | cand1, sent)
+    e2 = jnp.where(c2v, (pos << sb) | cand2, sent)
+    entries = jnp.concatenate([e1, e2], axis=1)
+    srt = jax.lax.sort(entries, dimension=1)[:, :max_hits]
+    pos32 = srt >> sb
+    cand32 = srt & jnp.int32(nslots - 1)
+    has = pos32 < p
+    pc = jnp.minimum(pos32, p - 1)
+    qhi = jnp.take_along_axis(hi, pc, axis=1)
+    qlo = jnp.take_along_axis(lo, pc, axis=1)
+    rows = jnp.take(rec, cand32.reshape(-1), axis=0).reshape(b, max_hits, 4)
+    ver = has & (rows[..., 0] == qhi) & (rows[..., 1] == qlo)
+    tin = rows[..., 2].astype(jnp.int32)
+    tout = (rows[..., 3] & jnp.uint32(0xFFFFFF)).astype(jnp.int32)
+    depth = (rows[..., 3] >> 24).astype(jnp.int32)
+    nh = ver.sum(axis=1).astype(jnp.int32)
+    dkey = jnp.where(ver, depth, -1)
+    j = jnp.argmax(dkey, axis=1)
+    deepest = jnp.take_along_axis(cand32, j[:, None], axis=1)[:, 0]
+    dtin = jnp.take_along_axis(tin, j[:, None], axis=1)[:, 0]
+    ok = ~ver | ((tin <= dtin[:, None]) & (dtin[:, None] <= tout))
+    consistent = jnp.all(ok, axis=1)
+    ncand = c1v.sum(axis=1) + c2v.sum(axis=1)
+    overflow = ncand > max_hits
+    flags = consistent.astype(jnp.int32) | (overflow.astype(jnp.int32) << 1)
+    slots_out = jnp.where(ver, cand32, -1)
+    deepest = jnp.where(nh > 0, deepest, -1)
+    return jnp.concatenate(
+        [deepest[:, None], nh[:, None], flags[:, None], slots_out], axis=1
+    )
+
+
+def fp_slots(db, ex):
+    """Per-window verified slot ids (int32 [B, P], -1 = miss) — the exact
+    fallback for candidate-overflow reads and the long-read chunk path."""
+    hi, lo, valid = ex["hi"], ex["lo"], ex["valid"]
+    rec = db["rec"]
+    nslots = rec.shape[0]
+    cand1, c1v, cand2, c2v = fp_candidates(db, hi, lo, valid)
+
+    def verify(cand, cv):
+        rows = jnp.take(rec, cand.reshape(-1), axis=0).reshape(*cand.shape, 4)
+        return cv & (rows[..., 0] == hi) & (rows[..., 1] == lo)
+
+    v1 = verify(cand1, c1v)
+    v2 = verify(cand2, c2v)
+    return jnp.where(v1, cand1, jnp.where(v2, cand2, -1))
+
+
+@partial(jax.jit, static_argnames=("l", "max_hits", "mode"))
+def _fp_kernel_packed(db, packed, exc, lengths, l: int, max_hits: int, mode: str):
+    codes = unpack_codes(packed, exc, l)
+    ex = extract_kmers(codes, lengths)
+    if mode == "summary":
+        return fp_summary(db, ex, max_hits)
+    return fp_slots(db, ex)
+
+
+@partial(jax.jit, static_argnames=("max_hits", "mode"))
+def _fp_kernel_codes(db, codes, lengths, max_hits: int, mode: str):
+    ex = extract_kmers(codes, lengths)
+    if mode == "summary":
+        return fp_summary(db, ex, max_hits)
+    return fp_slots(db, ex)
+
+
+class FpClassifier:
+    """Drop-in engine with the Classifier outer API (engine/classify.py):
+    ``new_seen`` / ``submit_batch`` / ``collect`` / ``process_batch`` /
+    ``process_long`` / ``ucount``.  ``seen`` is a host bool bitmap over slot
+    ids (reset per sample = the reference's ``kmer_seen.clear()``,
+    ``newkmer_10nx.cpp:1019``)."""
+
+    def __init__(
+        self,
+        db: PackedDB,
+        taxonomy: Taxonomy,
+        batch_size: int = 8192,
+        max_len: int = 512,
+        max_hits: int = 32,
+        fpdb: FpDB | None = None,
+    ):
+        if len(db) == 0:
+            raise ValueError("cannot classify against an empty probe DB")
+        self.packed_db = db
+        self.taxonomy = taxonomy
+        self.batch_size = batch_size
+        self.max_len = max_len
+        self.max_hits = max_hits
+        self.num_targ = db.num_targ
+        f = fpdb if fpdb is not None else build_fpdb(db, taxonomy)
+        self.fpdb = f
+        self.slot_target = f.slot_target
+        self.slot_idx = f.slot_idx
+        self.n_probes = len(db)
+        self._db = {
+            "fptab": jnp.asarray(f.fptab),
+            "rec": jnp.asarray(f.rec),
+            "fp_s1": jnp.uint32(f.s1),
+            "fp_s2": jnp.uint32(f.s2),
+            "fp_s3": jnp.uint32(f.s3),
+        }
+
+    # ------------------------------------------------------------ state
+    def new_seen(self) -> np.ndarray:
+        return np.zeros(self.fpdb.n_slots, dtype=bool)
+
+    # ------------------------------------------------------------ steps
+    def _launch(self, batch: Batch, mode: str):
+        lengths = jnp.asarray(batch.lengths)
+        if getattr(batch, "packed", None) is not None:
+            return _fp_kernel_packed(
+                self._db, jnp.asarray(batch.packed), jnp.asarray(batch.exc),
+                lengths, l=batch.codes.shape[1] if batch.codes is not None
+                else self.max_len, max_hits=self.max_hits, mode=mode,
+            )
+        return _fp_kernel_codes(
+            self._db, jnp.asarray(batch.codes), lengths,
+            max_hits=self.max_hits, mode=mode,
+        )
+
+    def submit_batch(self, seen, batch: Batch):
+        summary = self._launch(batch, "summary")
+        try:
+            summary.copy_to_host_async()
+        except AttributeError:
+            pass
+        return seen, PendingBatch(summary, batch, None, batch.n_rows)
+
+    def collect(self, seen, pending: PendingBatch):
+        arr = np.asarray(pending.packed)
+        deepest = arr[:, 0]
+        nh = arr[:, 1]
+        flags = arr[:, 2]
+        slots = arr[:, 3:]
+        consistent = (flags & 1) != 0
+        overflow = (flags & 2) != 0
+        finals = np.zeros(arr.shape[0], dtype=np.int32)
+        easy = consistent & ~overflow & (nh > 0)
+        finals[easy] = self.slot_target[deepest[easy]]
+        # unique-k-mer accounting: every verified hit slot marks seen
+        vs = slots[~overflow]
+        seen[vs[vs >= 0]] = True
+        # inconsistent reads: exact ordered msca fold of the window-ordered
+        # hit list (holes from rejected false candidates already dropped)
+        todo = np.nonzero(~consistent & ~overflow & (nh > 0))[0]
+        if len(todo):
+            sub = slots[todo]
+            cur = np.zeros(len(todo), dtype=np.int32)
+            for k in range(sub.shape[1]):
+                t = np.where(sub[:, k] >= 0, self.slot_target[np.maximum(sub[:, k], 0)], 0)
+                live = t > 0
+                merged = self.taxonomy.msca(t, np.maximum(cur, 1))
+                cur = np.where(live, np.where(cur > 0, merged, t), cur)
+            finals[todo] = cur
+        # candidate-overflow reads (rare): exact per-window slot plane
+        ovr = np.nonzero(overflow)[0]
+        if len(ovr):
+            plane = np.asarray(self._launch(pending.codes, "slots"))
+            for r in ovr:
+                s = plane[r]
+                s = s[s >= 0]
+                seen[s] = True
+                finals[r] = fold_host(self.taxonomy, self.slot_target[s])
+        return seen, finals[: pending.n_rows]
+
+    def process_batch(self, seen, batch: Batch):
+        seen, pending = self.submit_batch(seen, batch)
+        return self.collect(seen, pending)
+
+    def process_long(self, seen, item: LongRead):
+        """Reads longer than max_len: chunk with a KSIZE-1 halo through the
+        per-window slots kernel; exact ordered fold host-side."""
+        codes = item.codes
+        tl = len(codes)
+        l = self.max_len
+        step = l - KSIZE + 1
+        w = tl - KSIZE + 1
+        starts = list(range(0, w, step))
+        parts: list[np.ndarray] = []
+        for g in range(0, len(starts), self.batch_size):
+            group = starts[g : g + self.batch_size]
+            plane = np.full((self.batch_size, l), 4, dtype=np.uint8)
+            lengths = np.zeros(self.batch_size, dtype=np.int32)
+            for r, s in enumerate(group):
+                chunk = codes[s : s + l]
+                plane[r, : len(chunk)] = chunk
+                lengths[r] = len(chunk)
+            sl = np.asarray(
+                _fp_kernel_codes(
+                    self._db, jnp.asarray(plane), jnp.asarray(lengths),
+                    max_hits=self.max_hits, mode="slots",
+                )
+            )
+            for r, s in enumerate(group):
+                parts.append(sl[r, : min(step, w - s)])
+        slotseq = np.concatenate(parts) if parts else np.zeros(0, np.int32)
+        hits = slotseq[slotseq >= 0]
+        seen[hits] = True
+        targets = np.where(slotseq >= 0, self.slot_target[np.maximum(slotseq, 0)], 0)
+        return seen, fold_host(self.taxonomy, targets)
+
+    # ------------------------------------------------------------ finalize
+    def ucount(self, seen) -> np.ndarray:
+        t = self.slot_target[seen]
+        t = t[t > 1]
+        return np.bincount(t, minlength=self.num_targ).astype(np.int64)

@@ -90,6 +90,33 @@ def load_db(
     return LoadedDB(packed, taxonomy, strains, nt, n_rows)
 
 
+def make_classifier(db: LoadedDB, cfg: ClassifyConfig, cache_dir: str | None = None):
+    """Engine selection: the fingerprint engine (engine/fpclassify.py) is the
+    production single-chip path; the legacy sorted/cuckoo engine remains for
+    the alignment-verification replay (needs per-window strand/index detail)
+    and as the behavioral cross-check in tests."""
+    if cfg.minalign > 0 or getattr(cfg, "engine", "fp") != "fp":
+        return Classifier(db.packed, db.taxonomy, cfg.batch_size, cfg.max_len)
+    from kmer_id_tpu.db.fpdb import build_fpdb, load_fpdb, save_fpdb
+    from kmer_id_tpu.engine.fpclassify import FpClassifier
+
+    fp = None
+    if cache_dir:
+        fp = load_fpdb(cache_dir)
+        if fp is not None and fp.slot_idx.max(initial=-1) >= len(db.packed):
+            fp = None  # stale cache from a different DB
+    if fp is None:
+        fp = build_fpdb(db.packed, db.taxonomy)
+        if cache_dir:
+            save_fpdb(fp, cache_dir)
+    try:
+        return FpClassifier(
+            db.packed, db.taxonomy, cfg.batch_size, cfg.max_len, fpdb=fp
+        )
+    except ValueError:
+        return Classifier(db.packed, db.taxonomy, cfg.batch_size, cfg.max_len)
+
+
 # ----------------------------------------------------------------- samples
 
 
@@ -370,7 +397,7 @@ def run_nx(
     """Batch-classify every paired sample in a directory (nx driver,
     ``newkmer_10nx.cpp:915-1054``).  Returns the processed sample prefixes."""
     cfg = cfg or ClassifyConfig.preset("nx")
-    clf = clf or Classifier(db.packed, db.taxonomy, cfg.batch_size, cfg.max_len)
+    clf = clf or make_classifier(db, cfg)
     prefixes = []
     for name in os.listdir(fastq_dir):
         pos = name.find(e1)
@@ -441,7 +468,7 @@ def run_vf6(
 ) -> list[str]:
     """Job-based classification (vf6 driver, ``kmer_read_vf6.cpp:966-1172``)."""
     cfg = cfg or ClassifyConfig.preset("vf6")
-    clf = clf or Classifier(db.packed, db.taxonomy, cfg.batch_size, cfg.max_len)
+    clf = clf or make_classifier(db, cfg)
     jdir = os.path.join(root, jname)
     jnames, fnames = load_jobs(os.path.join(jdir, jname + ".txt"))
     log(f"{len(jnames)} jobs")
@@ -487,7 +514,7 @@ def run_m3(
         )
     if db.kmers_loaded >= 0 and db.kmers_loaded < 2:
         raise SystemExit(1)  # kmer_read_m3.cpp:1067
-    clf = Classifier(db.packed, db.taxonomy, cfg.batch_size, cfg.max_len)
+    clf = make_classifier(db, cfg)
     sp = SampleProcessor(clf, cfg)  # m3 writes no read-capture files
     sp.feed_file(f1)
     if len(f2) > 1 and f2 != "none":

@@ -38,6 +38,49 @@ class Batch:
     lengths: np.ndarray  # int32 [B]
     metas: list[Optional[RowMeta]]  # None for padding rows
     n_rows: int
+    # Transfer-light representation (engine/fpclassify.py): 2-bit packed
+    # words + sparse non-ACGT exception list.  H2D bandwidth is the system
+    # bottleneck on tunneled TPUs, so only these (not ``codes``) cross the
+    # wire when present; ``codes`` stays host-side for long-read replay.
+    packed: Optional[np.ndarray] = None  # uint32 [B, ceil(L/16)]
+    exc: Optional[np.ndarray] = None  # int32 [EXC_CAP]; flat row*L+pos, -1 pad
+
+
+EXC_CAP = 1024  # static exception-list shape (one jit signature); batches
+# with more in-length non-ACGT bases ship the u8 plane instead (rare)
+
+_PACK_SHIFTS = (np.uint32(2) * np.arange(16, dtype=np.uint32)).reshape(1, 1, 16)
+
+
+def pack_codes(codes: np.ndarray, lengths: np.ndarray):
+    """uint8 code plane -> (packed u32 [B, ceil(L/16)], exc int32 [EXC_CAP]).
+
+    Inverse of engine/fpclassify.unpack_codes.  Returns (None, None) when the
+    batch has more than EXC_CAP in-length invalid bases (caller falls back to
+    shipping the plane).  Bases beyond a row's length pack as garbage 0..3 —
+    harmless, the extract kernel masks them by length.
+    """
+    b, l = codes.shape
+    w = (l + 15) // 16
+    bad = codes >= 4
+    if bad.any():
+        inlen = np.arange(l, dtype=np.int32)[None, :] < lengths[:, None]
+        excm = bad & inlen
+        n_exc = int(excm.sum())
+        if n_exc > EXC_CAP:
+            return None, None
+        exc = np.full(EXC_CAP, -1, dtype=np.int32)
+        if n_exc:
+            exc[:n_exc] = np.flatnonzero(excm).astype(np.int32)
+    else:
+        exc = np.full(EXC_CAP, -1, dtype=np.int32)
+    c = codes
+    if l != w * 16:
+        c = np.zeros((b, w * 16), dtype=np.uint8)
+        c[:, :l] = codes
+    c32 = (c & np.uint8(3)).astype(np.uint32).reshape(b, w, 16)
+    packed = np.bitwise_or.reduce(c32 << _PACK_SHIFTS, axis=2)
+    return packed, exc
 
 
 @dataclass
@@ -133,7 +176,9 @@ class ReadBatcher:
                 codes[i, : len(c)] = c
                 lengths[i] = len(c)
                 metas[i] = m
-            return Batch(codes=codes, lengths=lengths, metas=metas, n_rows=len(rows))
+            packed, exc = pack_codes(codes, lengths)
+            return Batch(codes=codes, lengths=lengths, metas=metas,
+                         n_rows=len(rows), packed=packed, exc=exc)
 
         rows, self._rows = self._rows, []
         for item in rows:

@@ -92,7 +92,16 @@ class NativePlaneFeeder:
             n,
         )
         long_rows = np.nonzero(self.lengths[:n] > self.l)[0].tolist()
-        batch = Batch(codes=self.codes, lengths=self.lengths, metas=metas, n_rows=n)
+        from kmer_id_tpu.io.batch import pack_codes
+
+        # long placeholder rows are zeroed out of the device batch before
+        # packing (their in-plane codes are truncated junk)
+        lens_dev = self.lengths.copy()
+        if long_rows:
+            lens_dev[long_rows] = 0
+        packed, exc = pack_codes(self.codes, np.minimum(lens_dev, self.l))
+        batch = Batch(codes=self.codes, lengths=lens_dev, metas=metas, n_rows=n,
+                      packed=packed, exc=exc)
         self._new_plane()
         self.acc_off[0] = 0
         self.seq_off[0] = 0

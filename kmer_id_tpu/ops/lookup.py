@@ -97,7 +97,62 @@ def lookup_keys(db, q_hi: jax.Array, q_lo: jax.Array, bucket_bits: int = 0,
     return jnp.where(hit, idx, n), hit
 
 
-# ------------------------------------------------------------ cuckoo path
+# ------------------------------------------------------- fingerprint path
+
+
+def _fp_mix(a, b, s1, s2):
+    x = a ^ (b * s1)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x2C1B3C6D)
+    x = x ^ (x >> 12)
+    x = x * s2
+    return x ^ (x >> 16)
+
+
+def fp_hashes_jnp(q_hi, q_lo, nb: int, s1, s2, s3):
+    """Device twin of db/fpdb.fp_hashes (bit-identical; tested)."""
+    s1 = jnp.uint32(s1)
+    s2 = jnp.uint32(s2)
+    s3 = jnp.uint32(s3)
+    mask = jnp.uint32(nb - 1)
+    b1 = (_fp_mix(q_hi, q_lo, s1, s2) & mask).astype(jnp.int32)
+    b2 = (_fp_mix(q_lo, q_hi, s2, s1) & mask).astype(jnp.int32)
+    m = _fp_mix(q_hi ^ jnp.uint32(0x6A09E667), q_lo, s3, s1)
+    fp = (m ^ (m >> 16)) & jnp.uint32(0xFFFF)
+    fp = jnp.where(fp == 0, jnp.uint32(1), fp)
+    return b1, b2, fp
+
+
+def _fp_bucket_match(row, fp):
+    """row uint32 [..., 4] -> (any_match, device slot index half*4+word).
+
+    Build guarantees at most one stored fingerprint per bucket equals fp."""
+    lo = row & jnp.uint32(0xFFFF)
+    hi = row >> 16
+    m = jnp.concatenate([lo, hi], axis=-1) == fp[..., None]
+    return m.any(axis=-1), jnp.argmax(m, axis=-1).astype(jnp.int32)
+
+
+def fp_candidates(db, q_hi, q_lo, valid):
+    """Fingerprint stage: per-window candidate slot ids.
+
+    Returns (cand1, c1v, cand2, c2v): candidate slot id (bucket*8+slot) and
+    validity per choice.  c2v excludes b2 == b1 (the match would be the same
+    slot twice).  A present key produces its true slot in exactly one choice;
+    false candidates (~8/2^16 per miss window) are killed by the verify stage.
+    """
+    fptab = db["fptab"]
+    nb = fptab.shape[0]
+    b1, b2, fp = fp_hashes_jnp(q_hi, q_lo, nb, db["fp_s1"], db["fp_s2"], db["fp_s3"])
+    r1 = jnp.take(fptab, b1, axis=0)
+    r2 = jnp.take(fptab, b2, axis=0)
+    m1, s1 = _fp_bucket_match(r1, fp)
+    m2, s2 = _fp_bucket_match(r2, fp)
+    cand1 = b1 * 8 + s1
+    cand2 = b2 * 8 + s2
+    c1v = m1 & valid
+    c2v = m2 & valid & (b2 != b1)
+    return cand1, c1v, cand2, c2v
 
 
 def _mix32_jnp(a, b, s1, s2):

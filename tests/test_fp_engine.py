@@ -1,0 +1,143 @@
+"""Fingerprint engine (engine/fpclassify.py): exactness vs the reference
+simulator, fpdb invariants, and packed-transfer round-trips."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from kmer_id_tpu.config import ClassifyConfig  # noqa: E402
+from kmer_id_tpu.core import codec  # noqa: E402
+from kmer_id_tpu.core.taxonomy import Taxonomy  # noqa: E402
+from kmer_id_tpu.db.fpdb import build_fpdb, fp_hashes, load_fpdb, save_fpdb, verify_fpdb  # noqa: E402
+from kmer_id_tpu.db.probes import ProbeRecords, pack_probes  # noqa: E402
+from kmer_id_tpu.engine.fpclassify import FpClassifier, unpack_codes  # noqa: E402
+from kmer_id_tpu.engine.pipeline import SampleProcessor  # noqa: E402
+from kmer_id_tpu.io.batch import pack_codes  # noqa: E402
+from kmer_id_tpu.ops.lookup import fp_hashes_jnp  # noqa: E402
+from tests.refsim import RefSim  # noqa: E402
+from tests.test_classify_e2e import make_db, make_reads, rand_dna  # noqa: E402
+
+rng = np.random.default_rng(11)
+
+
+@pytest.fixture(scope="module")
+def world():
+    rec, kmap = make_db()
+    parent = [1] * 8
+    parent[3] = 2
+    parent[4] = 2
+    parent[5] = 4
+    parent[6] = 1
+    parent[7] = 6
+    tax = Taxonomy(np.array(parent, dtype=np.int32))
+    packed = pack_probes(rec, num_targ=8)
+    return rec, kmap, parent, tax, packed
+
+
+def test_fpdb_invariants_and_roundtrip(tmp_path, world):
+    _, _, _, tax, packed = world
+    fp = build_fpdb(packed, tax)
+    verify_fpdb(fp, packed.hi, packed.lo)
+    # every key resolves to its own slot: target/idx maps line up
+    b1, b2, f = fp_hashes(packed.hi, packed.lo, fp.nb, fp.s1, fp.s2, fp.s3)
+    order = np.argsort(fp.slot_idx[fp.slot_idx >= 0])
+    assert (np.sort(fp.slot_idx[fp.slot_idx >= 0]) == np.arange(len(packed))).all()
+    # host/device hash twins agree bit-for-bit
+    import jax.numpy as jnp
+
+    db1, db2, dfp = fp_hashes_jnp(
+        jnp.asarray(packed.hi), jnp.asarray(packed.lo), fp.nb, fp.s1, fp.s2, fp.s3
+    )
+    assert (np.asarray(db1) == b1).all()
+    assert (np.asarray(db2) == b2).all()
+    assert (np.asarray(dfp).astype(np.uint16) == f).all()
+    # persistence
+    save_fpdb(fp, tmp_path)
+    fp2 = load_fpdb(tmp_path)
+    assert (np.asarray(fp2.fptab) == fp.fptab).all()
+    assert (np.asarray(fp2.rec) == fp.rec).all()
+    assert fp2.nb == fp.nb and fp2.s3 == fp.s3
+
+
+def test_pack_codes_roundtrip():
+    from kmer_id_tpu.core.codec import INVALID
+
+    b, l = 17, 103
+    codes = rng.integers(0, 4, size=(b, l)).astype(np.uint8)
+    lengths = rng.integers(0, l + 1, size=b).astype(np.int32)
+    # sprinkle invalid bases inside and outside lengths
+    for _ in range(40):
+        codes[rng.integers(0, b), rng.integers(0, l)] = INVALID
+    packed, exc = pack_codes(codes, lengths)
+    got = np.asarray(unpack_codes(packed, exc, l))
+    inlen = np.arange(l)[None, :] < lengths[:, None]
+    # in-length positions reproduce exactly (incl. invalid marks)
+    want = np.where(codes >= 4, 4, codes)
+    assert (got[inlen] == want[inlen]).all()
+
+
+@pytest.mark.parametrize("batch_size,max_len", [(16, 96), (64, 64)])
+def test_fp_engine_matches_refsim(world, batch_size, max_len):
+    rec, kmap, parent, tax, packed = world
+    records = make_reads(kmap, n=300, read_len=90)
+
+    sim = RefSim(kmap, parent, num_targ=8, u_is_t=False)
+    sim.feed(records)
+
+    cfg = ClassifyConfig.preset("nx", num_targ=8, batch_size=batch_size, max_len=max_len)
+    clf = FpClassifier(packed, tax, batch_size=batch_size, max_len=max_len)
+    sp = SampleProcessor(clf, cfg)
+    sp.feed(records)
+    res = sp.finish()
+
+    assert res.reads == sim.reads
+    assert res.gcount.tolist() == sim.gcount
+    assert res.ucount.tolist() == sim.ucount
+
+
+def test_fp_engine_long_reads(world):
+    rec, kmap, parent, tax, packed = world
+    records = []
+    for i in range(6):
+        parts = []
+        for _ in range(8):
+            parts.append(rand_dna(int(rng.integers(50, 300))))
+            k = list(kmap)[int(rng.integers(len(kmap)))]
+            parts.append(codec.key_to_string(k))
+            if rng.random() < 0.3:
+                parts.append("N")
+        records.append((f"c{i}", "".join(parts), None))
+    sim = RefSim(kmap, parent, num_targ=8, u_is_t=False)
+    sim.feed(records)
+
+    cfg = ClassifyConfig.preset("nx", num_targ=8, batch_size=8, max_len=128)
+    clf = FpClassifier(packed, tax, batch_size=8, max_len=128)
+    sp = SampleProcessor(clf, cfg)
+    sp.feed(records)
+    res = sp.finish()
+    assert res.gcount.tolist() == sim.gcount
+    assert res.ucount.tolist() == sim.ucount
+
+
+def test_fp_engine_overflow_reads(world):
+    """Reads with more hits than max_hits exercise the slots fallback."""
+    rec, kmap, parent, tax, packed = world
+    keys = list(kmap)
+    records = []
+    for i in range(5):
+        # 40+ probe k-mers back to back in one 500 bp read
+        seq = "".join(
+            codec.key_to_string(keys[int(rng.integers(len(keys)))]) for _ in range(14)
+        )
+        records.append((f"h{i}", seq, None))
+    sim = RefSim(kmap, parent, num_targ=8, u_is_t=False)
+    sim.feed(records)
+
+    cfg = ClassifyConfig.preset("nx", num_targ=8, batch_size=8, max_len=512)
+    clf = FpClassifier(packed, tax, batch_size=8, max_len=512, max_hits=8)
+    sp = SampleProcessor(clf, cfg)
+    sp.feed(records)
+    res = sp.finish()
+    assert res.gcount.tolist() == sim.gcount
+    assert res.ucount.tolist() == sim.ucount
