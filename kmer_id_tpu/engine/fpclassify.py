@@ -138,6 +138,76 @@ def fp_slots(db, ex):
     return jnp.where(v1, cand1, jnp.where(v2, cand2, -1))
 
 
+def fp_finals(db, ex, seen, max_hits: int):
+    """Fully device-resident per-read resolution (the production path).
+
+    Computes everything ``fp_summary`` does, then *finishes the read on
+    device*: the final taxonomy call (consistent fast path = deepest hit's
+    target; otherwise the exact window-ordered msca fold via
+    ops/fold.fold_targets) and the unique-k-mer ``seen`` scatter.  The
+    device→host traffic per read shrinks from the (3+max_hits)-int summary
+    row to ONE int32: the final target, with bit 30 flagging the rare
+    candidate-overflow reads the host must replay through ``fp_slots``.
+
+    Returns (finals int32 [B], seen int8 [n_slots]).
+    """
+    from kmer_id_tpu.ops.fold import fold_targets
+
+    hi, lo, valid = ex["hi"], ex["lo"], ex["valid"]
+    b, p = hi.shape
+    rec = db["rec"]
+    nslots = rec.shape[0]
+    sb = max(1, int(math.ceil(math.log2(nslots))))
+    if p > 511 or 9 + sb > 31:
+        raise ValueError(
+            f"fp finals packing limits exceeded (P={p}, slot_bits={sb}); "
+            "use a shorter max_len or the sharded engine for >2^22-slot DBs"
+        )
+    cand1, c1v, cand2, c2v = fp_candidates(db, hi, lo, valid)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, p), 1)
+    sent = jnp.int32(np.int32(2**31 - 1))
+    e1 = jnp.where(c1v, (pos << sb) | cand1, sent)
+    e2 = jnp.where(c2v, (pos << sb) | cand2, sent)
+    entries = jnp.concatenate([e1, e2], axis=1)
+    srt = jax.lax.sort(entries, dimension=1)[:, :max_hits]
+    pos32 = srt >> sb
+    cand32 = srt & jnp.int32(nslots - 1)
+    has = pos32 < p
+    pc = jnp.minimum(pos32, p - 1)
+    qhi = jnp.take_along_axis(hi, pc, axis=1)
+    qlo = jnp.take_along_axis(lo, pc, axis=1)
+    rows = jnp.take(rec, cand32.reshape(-1), axis=0).reshape(b, max_hits, 4)
+    ver = has & (rows[..., 0] == qhi) & (rows[..., 1] == qlo)
+    tin = rows[..., 2].astype(jnp.int32)
+    tout = (rows[..., 3] & jnp.uint32(0xFFFFFF)).astype(jnp.int32)
+    depth = (rows[..., 3] >> 24).astype(jnp.int32)
+    nh = ver.sum(axis=1).astype(jnp.int32)
+    dkey = jnp.where(ver, depth, -1)
+    j = jnp.argmax(dkey, axis=1)
+    deepest = jnp.take_along_axis(cand32, j[:, None], axis=1)[:, 0]
+    dtin = jnp.take_along_axis(tin, j[:, None], axis=1)[:, 0]
+    ok = ~ver | ((tin <= dtin[:, None]) & (dtin[:, None] <= tout))
+    consistent = jnp.all(ok, axis=1)
+    ncand = c1v.sum(axis=1) + c2v.sum(axis=1)
+    overflow = ncand > max_hits
+
+    # every verified slot is a true hit: mark seen (idempotent scatter-max;
+    # overflow reads' tail hits are added by the host replay)
+    st = db["slot_target"]
+    sc = jnp.where(ver, cand32, 0)
+    sv = jnp.where(ver, jnp.int8(1), jnp.int8(0))
+    seen = seen.at[sc.reshape(-1)].max(sv.reshape(-1), mode="promise_in_bounds")
+
+    # final call: consistent reads take the deepest hit's target; the rest get
+    # the exact window-ordered msca fold (holes/misses are 0 and are skipped)
+    t = jnp.where(ver, jnp.take(st, cand32.reshape(-1)).reshape(b, max_hits), 0)
+    dtgt = jnp.take(st, deepest)
+    folded = fold_targets(db["anc"], db["depth"], t)
+    finals = jnp.where(consistent, jnp.where(nh > 0, dtgt, 0), folded)
+    finals = jnp.where(overflow, finals | jnp.int32(1 << 30), finals)
+    return finals, seen
+
+
 @partial(jax.jit, static_argnames=("l", "max_hits", "mode"))
 def _fp_kernel_packed(db, packed, exc, lengths, l: int, max_hits: int, mode: str):
     codes = unpack_codes(packed, exc, l)
@@ -153,6 +223,36 @@ def _fp_kernel_codes(db, codes, lengths, max_hits: int, mode: str):
     if mode == "summary":
         return fp_summary(db, ex, max_hits)
     return fp_slots(db, ex)
+
+
+@partial(jax.jit, static_argnames=("l", "max_hits"), donate_argnums=(4,))
+def _fp_finals_packed(db, packed, exc, lengths, seen, l: int, max_hits: int):
+    codes = unpack_codes(packed, exc, l)
+    ex = extract_kmers(codes, lengths)
+    return fp_finals(db, ex, seen, max_hits)
+
+
+@partial(jax.jit, static_argnames=("max_hits",), donate_argnums=(3,))
+def _fp_finals_codes(db, codes, lengths, seen, max_hits: int):
+    ex = extract_kmers(codes, lengths)
+    return fp_finals(db, ex, seen, max_hits)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _scatter_plane_seen(seen, plane):
+    """Mark every verified slot of a [R, P] slots plane (-1 = miss)."""
+    v = jnp.where(plane >= 0, jnp.int8(1), jnp.int8(0))
+    idx = jnp.maximum(plane, 0)
+    return seen.at[idx.reshape(-1)].max(v.reshape(-1), mode="promise_in_bounds")
+
+
+@partial(jax.jit, static_argnames=("num_targ",))
+def _ucount_device(seen, slot_target, num_targ: int):
+    t = jnp.where((seen > 0) & (slot_target > 1), slot_target, 0)
+    u = jnp.zeros((num_targ,), jnp.int32).at[t].add(
+        (t > 0).astype(jnp.int32), mode="promise_in_bounds"
+    )
+    return u
 
 
 class FpClassifier:
@@ -190,11 +290,17 @@ class FpClassifier:
             "fp_s1": jnp.uint32(f.s1),
             "fp_s2": jnp.uint32(f.s2),
             "fp_s3": jnp.uint32(f.s3),
+            "slot_target": jnp.asarray(f.slot_target),
+            "anc": jnp.asarray(taxonomy.anc),
+            "depth": jnp.asarray(taxonomy.depth),
         }
 
     # ------------------------------------------------------------ state
-    def new_seen(self) -> np.ndarray:
-        return np.zeros(self.fpdb.n_slots, dtype=bool)
+    def new_seen(self) -> jax.Array:
+        """Device-resident unique-k-mer set: int8 per slot, scatter-maxed in
+        the finals kernel (= the reference's per-sample ``kmer_seen`` set,
+        ``newkmer_10nx.cpp:1019``); only pulled at finalize."""
+        return jnp.zeros(self.fpdb.n_slots, dtype=jnp.int8)
 
     # ------------------------------------------------------------ steps
     def _launch(self, batch: Batch, mode: str):
@@ -210,48 +316,41 @@ class FpClassifier:
             max_hits=self.max_hits, mode=mode,
         )
 
+    def _launch_finals(self, seen, batch: Batch):
+        lengths = jnp.asarray(batch.lengths)
+        if getattr(batch, "packed", None) is not None:
+            return _fp_finals_packed(
+                self._db, jnp.asarray(batch.packed), jnp.asarray(batch.exc),
+                lengths, seen, l=batch.codes.shape[1] if batch.codes is not None
+                else self.max_len, max_hits=self.max_hits,
+            )
+        return _fp_finals_codes(
+            self._db, jnp.asarray(batch.codes), lengths, seen,
+            max_hits=self.max_hits,
+        )
+
     def submit_batch(self, seen, batch: Batch):
-        summary = self._launch(batch, "summary")
+        finals, seen = self._launch_finals(seen, batch)
         try:
-            summary.copy_to_host_async()
+            finals.copy_to_host_async()
         except AttributeError:
             pass
-        return seen, PendingBatch(summary, batch, None, batch.n_rows)
+        return seen, PendingBatch(finals, batch, None, batch.n_rows)
 
     def collect(self, seen, pending: PendingBatch):
         arr = np.asarray(pending.packed)
-        deepest = arr[:, 0]
-        nh = arr[:, 1]
-        flags = arr[:, 2]
-        slots = arr[:, 3:]
-        consistent = (flags & 1) != 0
-        overflow = (flags & 2) != 0
-        finals = np.zeros(arr.shape[0], dtype=np.int32)
-        easy = consistent & ~overflow & (nh > 0)
-        finals[easy] = self.slot_target[deepest[easy]]
-        # unique-k-mer accounting: every verified hit slot marks seen
-        vs = slots[~overflow]
-        seen[vs[vs >= 0]] = True
-        # inconsistent reads: exact ordered msca fold of the window-ordered
-        # hit list (holes from rejected false candidates already dropped)
-        todo = np.nonzero(~consistent & ~overflow & (nh > 0))[0]
-        if len(todo):
-            sub = slots[todo]
-            cur = np.zeros(len(todo), dtype=np.int32)
-            for k in range(sub.shape[1]):
-                t = np.where(sub[:, k] >= 0, self.slot_target[np.maximum(sub[:, k], 0)], 0)
-                live = t > 0
-                merged = self.taxonomy.msca(t, np.maximum(cur, 1))
-                cur = np.where(live, np.where(cur > 0, merged, t), cur)
-            finals[todo] = cur
-        # candidate-overflow reads (rare): exact per-window slot plane
+        overflow = (arr & (1 << 30)) != 0
+        finals = (arr & ~np.int32(1 << 30)).astype(np.int32)
+        # candidate-overflow reads (rare, ~2^-16 fingerprint flukes beyond
+        # max_hits true hits): exact per-window slot-plane replay
         ovr = np.nonzero(overflow)[0]
         if len(ovr):
-            plane = np.asarray(self._launch(pending.codes, "slots"))
+            plane_dev = self._launch(pending.codes, "slots")
+            seen = _scatter_plane_seen(seen, plane_dev)
+            plane = np.asarray(plane_dev)
             for r in ovr:
                 s = plane[r]
                 s = s[s >= 0]
-                seen[s] = True
                 finals[r] = fold_host(self.taxonomy, self.slot_target[s])
         return seen, finals[: pending.n_rows]
 
@@ -277,22 +376,19 @@ class FpClassifier:
                 chunk = codes[s : s + l]
                 plane[r, : len(chunk)] = chunk
                 lengths[r] = len(chunk)
-            sl = np.asarray(
-                _fp_kernel_codes(
-                    self._db, jnp.asarray(plane), jnp.asarray(lengths),
-                    max_hits=self.max_hits, mode="slots",
-                )
+            sl_dev = _fp_kernel_codes(
+                self._db, jnp.asarray(plane), jnp.asarray(lengths),
+                max_hits=self.max_hits, mode="slots",
             )
+            seen = _scatter_plane_seen(seen, sl_dev)
+            sl = np.asarray(sl_dev)
             for r, s in enumerate(group):
                 parts.append(sl[r, : min(step, w - s)])
         slotseq = np.concatenate(parts) if parts else np.zeros(0, np.int32)
-        hits = slotseq[slotseq >= 0]
-        seen[hits] = True
         targets = np.where(slotseq >= 0, self.slot_target[np.maximum(slotseq, 0)], 0)
         return seen, fold_host(self.taxonomy, targets)
 
     # ------------------------------------------------------------ finalize
     def ucount(self, seen) -> np.ndarray:
-        t = self.slot_target[seen]
-        t = t[t > 1]
-        return np.bincount(t, minlength=self.num_targ).astype(np.int64)
+        u = _ucount_device(seen, self._db["slot_target"], num_targ=self.num_targ)
+        return np.asarray(u).astype(np.int64)
