@@ -36,7 +36,13 @@ import numpy as np
 
 SLOTS = 8
 EMPTY_HI = np.uint32(0xFFFFFFFF)  # real key hi < 2^28
-MAX_LOAD = 0.96  # 2-choice x 8-slot cuckoo placement threshold ~= 0.977
+# Bucket-count target: nb is snapped to a power of two, so the worst-case
+# realized load equals this value.  0.96 (near the 2-choice x 8-slot cuckoo
+# threshold ~0.977) forces the Python random-walk eviction loop to place the
+# last few percent — measured 800+ s on an 8M-key build.  At <= 0.85 the
+# vectorized greedy rounds place everything and build time is sort-bound
+# (seconds), at the cost of at most ~13% more slots (16 B each).
+MAX_LOAD = 0.85
 
 
 def _mix32(a: np.ndarray, b: np.ndarray, s1: int, s2: int) -> np.ndarray:
@@ -138,12 +144,22 @@ def build_fpdb(packed, taxonomy, load: float = MAX_LOAD) -> FpDB:
         nb *= 2
 
 
-def _place(hi, lo, nb, s1, s2, s3, max_evict_rounds: int = 8000):
+def _place(hi, lo, nb, s1, s2, s3, max_evict_rounds: int = 3000):
     """Assign each key a slot honoring capacity + per-bucket fp uniqueness.
 
-    Vectorized greedy rounds place the bulk; a random-walk eviction loop
-    handles stragglers (eviction preferentially displaces a same-fingerprint
-    resident, which simultaneously resolves fp conflicts)."""
+    Two fully-vectorized phases (build time on multi-10M-key DBs is
+    sort-bound, not Python-bound):
+
+    1. *Greedy rounds*: every unplaced key tries the emptier of its two
+       buckets; placement is capacity-ranked per bucket and deferred on
+       fingerprint conflicts.  Converges to ~3% stragglers at load 0.85.
+    2. *Parallel random-walk eviction*: all stragglers hop at once each
+       round — pick a random side, displace a same-fingerprint resident if
+       present (which simultaneously restores fp uniqueness), else take an
+       empty slot, else kick a random resident (who rejoins the walk).
+       Same-slot / same-(bucket, fp) write races are resolved by keeping one
+       winner per round; losers retry next round.
+    """
     n = len(hi)
     b1, b2, fp = fp_hashes(hi, lo, nb, s1, s2, s3)
     fp = fp.astype(np.int64)
@@ -157,10 +173,12 @@ def _place(hi, lo, nb, s1, s2, s3, max_evict_rounds: int = 8000):
         return (rows == f[:, None]).any(axis=1)
 
     unplaced = np.arange(n)
-    for rnd in range(40):
+    for rnd in range(30):
         if len(unplaced) == 0:
             return slot_of
-        bb = (b1 if rnd % 2 == 0 else b2)[unplaced]
+        f1 = occ[b1[unplaced]]
+        f2 = occ[b2[unplaced]]
+        bb = np.where(f2 < f1, b2[unplaced], b1[unplaced])
         ff = fp[unplaced]
         # defer same-round duplicates of (bucket, fp) and existing-fp conflicts
         key = bb * 65536 + ff
@@ -188,35 +206,46 @@ def _place(hi, lo, nb, s1, s2, s3, max_evict_rounds: int = 8000):
         mask = np.ones(len(unplaced), bool)
         mask[placed_local] = False
         unplaced = unplaced[mask]
+        if len(unplaced) and rnd > 4 and len(placed_local) == 0:
+            break  # greedy fixed point; hand off to eviction
 
     rng = np.random.default_rng(s1 & 0x7FFFFFFF)
-    pend = list(unplaced)
+    pend = unplaced
+    rows2d = slot_fp.reshape(nb, SLOTS)
     for _ in range(max_evict_rounds):
-        if not pend:
+        u = len(pend)
+        if u == 0:
             return slot_of
-        k = pend.pop()
-        for _hop in range(400):
-            b = int(b1[k] if rng.integers(0, 2) == 0 else b2[k])
-            row = slot_fp[b * SLOTS : (b + 1) * SLOTS]
-            conflict = np.nonzero(row == fp[k])[0]
-            if len(conflict):
-                s = int(conflict[0])  # displace the fp-conflicting resident
-            else:
-                empty = np.nonzero(row == 0)[0]
-                s = int(empty[0]) if len(empty) else int(rng.integers(0, SLOTS))
-            pos = b * SLOTS + s
-            victim = int(slot_key[pos])
-            slot_fp[pos] = fp[k]
-            slot_key[pos] = k
-            slot_of[k] = pos
-            if victim < 0:
-                occ[b] += 1
-                break
-            slot_of[victim] = -1
-            k = victim
-        else:
-            return None  # stuck in a cycle: caller re-salts
-    return None if pend else slot_of
+        side = rng.integers(0, 2, size=u)
+        b = np.where(side == 0, b1[pend], b2[pend])
+        rows = rows2d[b]  # [U, 8] fingerprints currently in the bucket
+        ff = fp[pend]
+        conf = rows == ff[:, None]
+        has_conf = conf.any(axis=1)
+        empt = rows == 0
+        has_empt = empt.any(axis=1)
+        s = np.where(
+            has_conf,
+            conf.argmax(axis=1),
+            np.where(has_empt, empt.argmax(axis=1), rng.integers(0, SLOTS, size=u)),
+        )
+        pos = b * SLOTS + s
+        # one winner per slot AND per (bucket, fp) pair this round
+        k1 = np.unique(pos, return_index=True)[1]
+        k2 = np.unique(b * 65536 + ff, return_index=True)[1]
+        win = np.intersect1d(k1, k2, assume_unique=True)
+        wk = pend[win]
+        wpos = pos[win]
+        victim = slot_key[wpos]
+        slot_fp[wpos] = fp[wk]
+        slot_key[wpos] = wk
+        slot_of[wk] = wpos
+        evicted = victim[victim >= 0]
+        slot_of[evicted] = -1
+        lose = np.ones(u, dtype=bool)
+        lose[win] = False
+        pend = np.concatenate([pend[lose], evicted])
+    return None  # no convergence: caller re-salts / doubles nb
 
 
 def save_fpdb(db: FpDB, out_dir) -> None:

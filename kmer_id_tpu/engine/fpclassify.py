@@ -21,9 +21,13 @@ Design notes vs engine/classify.Classifier (the legacy sorted/cuckoo engine):
   HOST as a slot-id bitmap fed by the returned verified slot lists: the
   device never scatters, and ucount stays exact because each DB key owns
   exactly one slot.
-* Compaction is a single jnp.sort on (window_pos << slot_bits | slot) — no
-  scatter; entries stay in window order so the rare inconsistent read can be
-  folded exactly (ordered msca, newkmer_10nx.cpp:588-595) on the host.
+* Compaction is a single two-operand jax.lax.sort (key = window position,
+  payload = slot id) — no scatter; entries stay in window order so the rare
+  inconsistent read can be folded exactly (ordered msca,
+  newkmer_10nx.cpp:588-595) on the host.  Carrying the slot id as a full
+  int32 payload (instead of packing it into the sort key) lifts the slot
+  count to 2^31 — beyond the reference's 2^30-cell production table
+  (newkmer_10nx.cpp:49), so bact10-scale DBs run on the flagship path.
 * Reads whose *candidate* count exceeds max_hits (can only exceed the true
   hit count via ~2^-16 fingerprint flukes) and long reads use the per-window
   "slots" kernel — exact, self-contained fallbacks on the same tables.
@@ -31,8 +35,6 @@ Design notes vs engine/classify.Classifier (the legacy sorted/cuckoo engine):
 
 from __future__ import annotations
 
-import math
-from dataclasses import dataclass
 from functools import partial
 
 import jax
@@ -68,33 +70,30 @@ def unpack_codes(packed: jax.Array, exc: jax.Array, l: int) -> jax.Array:
     return flat.reshape(b, l)
 
 
-def fp_summary(db, ex, max_hits: int):
-    """Candidate compaction + verify + per-read summary (see module doc).
+def _compact_verify(db, ex, max_hits: int):
+    """Shared candidate-compaction + verify stage of the summary/finals paths.
 
-    Returns int32 [B, 3+max_hits]: col0 deepest-hit slot (-1 if none), col1
-    verified hit count, col2 flags (bit0 consistent, bit1 candidate
-    overflow), col3.. verified slot ids in window order (-1 holes where a
-    false candidate was rejected).
+    Sorts the <=2P fingerprint candidates of each read into window order
+    (two-operand sort: key = window position, payload = slot id — see module
+    doc) and verifies the first ``max_hits`` against the full 60-bit keys in
+    ``rec``.  Returns a dict of per-read tensors consumed by fp_summary /
+    fp_finals.
     """
     hi, lo, valid = ex["hi"], ex["lo"], ex["valid"]
     b, p = hi.shape
     rec = db["rec"]
-    nslots = rec.shape[0]
-    sb = max(1, int(math.ceil(math.log2(nslots))))
-    if p > 511 or 9 + sb > 31:
-        raise ValueError(
-            f"fp summary packing limits exceeded (P={p}, slot_bits={sb}); "
-            "use a shorter max_len or the sharded engine for >2^22-slot DBs"
-        )
     cand1, c1v, cand2, c2v = fp_candidates(db, hi, lo, valid)
     pos = jax.lax.broadcasted_iota(jnp.int32, (b, p), 1)
     sent = jnp.int32(np.int32(2**31 - 1))
-    e1 = jnp.where(c1v, (pos << sb) | cand1, sent)
-    e2 = jnp.where(c2v, (pos << sb) | cand2, sent)
-    entries = jnp.concatenate([e1, e2], axis=1)
-    srt = jax.lax.sort(entries, dimension=1)[:, :max_hits]
-    pos32 = srt >> sb
-    cand32 = srt & jnp.int32(nslots - 1)
+    k1 = jnp.where(c1v, pos, sent)
+    k2 = jnp.where(c2v, pos, sent)
+    keys = jnp.concatenate([k1, k2], axis=1)
+    payload = jnp.concatenate([cand1, cand2], axis=1)
+    pos32, cand32 = jax.lax.sort(
+        (keys, payload), dimension=1, num_keys=1, is_stable=True
+    )
+    pos32 = pos32[:, :max_hits]
+    cand32 = cand32[:, :max_hits]
     has = pos32 < p
     pc = jnp.minimum(pos32, p - 1)
     qhi = jnp.take_along_axis(hi, pc, axis=1)
@@ -113,9 +112,27 @@ def fp_summary(db, ex, max_hits: int):
     consistent = jnp.all(ok, axis=1)
     ncand = c1v.sum(axis=1) + c2v.sum(axis=1)
     overflow = ncand > max_hits
-    flags = consistent.astype(jnp.int32) | (overflow.astype(jnp.int32) << 1)
-    slots_out = jnp.where(ver, cand32, -1)
-    deepest = jnp.where(nh > 0, deepest, -1)
+    return {
+        "cand": cand32, "ver": ver, "nh": nh, "deepest": deepest,
+        "consistent": consistent, "overflow": overflow,
+    }
+
+
+def fp_summary(db, ex, max_hits: int):
+    """Candidate compaction + verify + per-read summary (see module doc).
+
+    Returns int32 [B, 3+max_hits]: col0 deepest-hit slot (-1 if none), col1
+    verified hit count, col2 flags (bit0 consistent, bit1 candidate
+    overflow), col3.. verified slot ids in window order (-1 holes where a
+    false candidate was rejected).
+    """
+    cv = _compact_verify(db, ex, max_hits)
+    ver, nh = cv["ver"], cv["nh"]
+    flags = cv["consistent"].astype(jnp.int32) | (
+        cv["overflow"].astype(jnp.int32) << 1
+    )
+    slots_out = jnp.where(ver, cv["cand"], -1)
+    deepest = jnp.where(nh > 0, cv["deepest"], -1)
     return jnp.concatenate(
         [deepest[:, None], nh[:, None], flags[:, None], slots_out], axis=1
     )
@@ -153,43 +170,10 @@ def fp_finals(db, ex, seen, max_hits: int):
     """
     from kmer_id_tpu.ops.fold import fold_targets
 
-    hi, lo, valid = ex["hi"], ex["lo"], ex["valid"]
-    b, p = hi.shape
-    rec = db["rec"]
-    nslots = rec.shape[0]
-    sb = max(1, int(math.ceil(math.log2(nslots))))
-    if p > 511 or 9 + sb > 31:
-        raise ValueError(
-            f"fp finals packing limits exceeded (P={p}, slot_bits={sb}); "
-            "use a shorter max_len or the sharded engine for >2^22-slot DBs"
-        )
-    cand1, c1v, cand2, c2v = fp_candidates(db, hi, lo, valid)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (b, p), 1)
-    sent = jnp.int32(np.int32(2**31 - 1))
-    e1 = jnp.where(c1v, (pos << sb) | cand1, sent)
-    e2 = jnp.where(c2v, (pos << sb) | cand2, sent)
-    entries = jnp.concatenate([e1, e2], axis=1)
-    srt = jax.lax.sort(entries, dimension=1)[:, :max_hits]
-    pos32 = srt >> sb
-    cand32 = srt & jnp.int32(nslots - 1)
-    has = pos32 < p
-    pc = jnp.minimum(pos32, p - 1)
-    qhi = jnp.take_along_axis(hi, pc, axis=1)
-    qlo = jnp.take_along_axis(lo, pc, axis=1)
-    rows = jnp.take(rec, cand32.reshape(-1), axis=0).reshape(b, max_hits, 4)
-    ver = has & (rows[..., 0] == qhi) & (rows[..., 1] == qlo)
-    tin = rows[..., 2].astype(jnp.int32)
-    tout = (rows[..., 3] & jnp.uint32(0xFFFFFF)).astype(jnp.int32)
-    depth = (rows[..., 3] >> 24).astype(jnp.int32)
-    nh = ver.sum(axis=1).astype(jnp.int32)
-    dkey = jnp.where(ver, depth, -1)
-    j = jnp.argmax(dkey, axis=1)
-    deepest = jnp.take_along_axis(cand32, j[:, None], axis=1)[:, 0]
-    dtin = jnp.take_along_axis(tin, j[:, None], axis=1)[:, 0]
-    ok = ~ver | ((tin <= dtin[:, None]) & (dtin[:, None] <= tout))
-    consistent = jnp.all(ok, axis=1)
-    ncand = c1v.sum(axis=1) + c2v.sum(axis=1)
-    overflow = ncand > max_hits
+    b = ex["hi"].shape[0]
+    cv = _compact_verify(db, ex, max_hits)
+    cand32, ver, nh = cv["cand"], cv["ver"], cv["nh"]
+    deepest, consistent, overflow = cv["deepest"], cv["consistent"], cv["overflow"]
 
     # every verified slot is a true hit: mark seen (idempotent scatter-max;
     # overflow reads' tail hits are added by the host replay)

@@ -141,3 +141,59 @@ def test_fp_engine_overflow_reads(world):
     res = sp.finish()
     assert res.gcount.tolist() == sim.gcount
     assert res.ucount.tolist() == sim.ucount
+
+
+def test_fp_engine_beyond_legacy_slot_cap():
+    """Production-scale guard: a DB whose slot table exceeds 2^22 slots (the
+    round-1 int32 packing cap) classifies correctly on the flagship path.
+
+    5M probes -> nb 2^20 -> 2^23 slots; cross-checked against the legacy
+    sorted-array engine (golden-tested elsewhere) on planted-probe reads.
+    """
+    from kmer_id_tpu.db.probes import PackedDB
+    from kmer_id_tpu.engine.classify import Classifier
+
+    n = 5_000_000
+    r = np.random.default_rng(42)
+    raw = r.integers(0, 1 << 60, size=int(n * 1.05), dtype=np.uint64)
+    # canonicalize so planted key strings re-encode to themselves
+    rc = np.zeros_like(raw)
+    k = raw.copy()
+    for _ in range(codec.KSIZE):
+        rc = (rc << np.uint64(2)) | ((np.uint64(3) - (k & np.uint64(3))) & np.uint64(3))
+        k >>= np.uint64(2)
+    keys = np.unique(np.minimum(raw, rc))[:n]
+    hi = (keys >> np.uint64(32)).astype(np.uint32)
+    lo = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    num_targ = 64
+    targets = r.integers(2, num_targ, size=n).astype(np.int32)
+    packed = PackedDB(
+        keys=keys, hi=hi, lo=lo, target=targets,
+        org=np.zeros(n, np.int32), position=np.zeros(n, np.int32),
+        fstrand=np.ones(n, bool), num_targ=num_targ,
+    )
+    tax = Taxonomy.from_edges(
+        [(1, t) for t in range(2, num_targ)], num_nodes=num_targ
+    )
+    fp_clf = FpClassifier(packed, tax, batch_size=256, max_len=128)
+    assert fp_clf.fpdb.n_slots > (1 << 22)
+    legacy = Classifier(packed, tax, batch_size=256, max_len=128)
+
+    records = []
+    for i in range(512):
+        seq = rand_dna(150)
+        for _ in range(int(r.integers(0, 4))):
+            kidx = int(r.integers(n))
+            pos = int(r.integers(0, 150 - codec.KSIZE))
+            seq = seq[:pos] + codec.key_to_string(keys[kidx]) + seq[pos + codec.KSIZE:]
+        records.append((f"r{i}", seq, None))
+
+    cfg = ClassifyConfig.preset("nx", num_targ=num_targ, batch_size=256, max_len=128)
+    results = []
+    for clf in (fp_clf, legacy):
+        sp = SampleProcessor(clf, cfg)
+        sp.feed(records)
+        results.append(sp.finish())
+    assert results[0].gcount.tolist() == results[1].gcount.tolist()
+    assert results[0].ucount.tolist() == results[1].ucount.tolist()
+    assert results[0].gcount[2:].sum() > 150  # planted probes actually hit
