@@ -1,21 +1,28 @@
 #!/usr/bin/env python
-"""Benchmark: classification throughput vs the reference classifier.
+"""Benchmark: classification throughput vs the reference classifier, at
+production (bact10) scale.
 
-Fixture (cached in .bench_cache/, generated once): a bact10-shaped synthetic
+Fixture (cached in .bench_cache/, generated once): a bact10-scale synthetic
 DB — the real b10 taxonomy/strain tables read from the reference checkout,
-with ~2M random discriminative probes — plus 200k × 150bp paired-style
+with 33M random discriminative probes (the real probes10.txt.gz is ~1.5 GB gz
+text, README.md:12, i.e. the same order of magnitude) — plus 1M × 150bp
 FASTQ.GZ reads with a realistic hit profile (most reads hit 1-3 probes of one
-target, some mixed, some unclassified, low-quality tails to exercise trim).
+target, some mixed, some unclassified, low-quality tails to exercise trim),
+and a long-read FASTA lane (1k × 10kb contigs).
 
-Baseline: the reference classifier (kmer_read_vf6.cpp compiled with its hash
-table reduced 2^30→2^26 — a memory-only change that, if anything, *helps* its
-cache locality), timed as (full job − tiny job) to exclude DB text-parse
-time.  Cached in .bench_cache/baseline.json.
+Baseline: the reference classifier (kmer_read_vf6.cpp compiled UNMODIFIED,
+with its production 2^30-cell / 24 GiB hash table), timed as
+(full job − tiny job) to exclude DB text-parse + table-memset time.
+Cached in .bench_cache/baseline_full.json.
 
 Ours: end-to-end sample processing (gz decode → trim/pack → device classify →
-counts) on the packed DB, steady-state after one warmup pass.
+counts) on the packed DB; p50 of N_RUNS timed passes after one warmup pass
+(the tunneled-TPU H2D path has high run-to-run variance — see
+.bench_history.jsonl for the spread).
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline", ...}.
+A >15% p50 regression vs the best of the last 5 recorded runs is flagged in
+the JSON (and stderr) via "regression".
 """
 
 from __future__ import annotations
@@ -34,10 +41,13 @@ sys.path.insert(0, ROOT)
 CACHE = os.path.join(ROOT, ".bench_cache")
 REF = "/root/reference"
 
-N_PROBES = 2_000_000
-N_READS = 200_000
+N_PROBES = 33_000_000
+N_READS = 1_000_000
 READ_LEN = 150
-SEED = 20260817
+N_RUNS = 5
+N_LONG = 1000
+LONG_LEN = 10_000
+SEED = 20260819
 
 
 def log(msg):
@@ -47,15 +57,31 @@ def log(msg):
 # ----------------------------------------------------------------- fixture
 
 
-def _gen_fixture():
-    from kmer_id_tpu.core import codec
+def _revcomp_vec(keys: np.ndarray) -> np.ndarray:
+    """Vectorized 60-bit reverse complement."""
+    k = keys.copy()
+    out = np.zeros_like(k)
+    three = np.uint64(3)
+    for _ in range(30):
+        out = (out << np.uint64(2)) | ((three - (k & three)) & three)
+        k >>= np.uint64(2)
+    return out
 
+
+def _keys_to_char_matrix(keys: np.ndarray) -> np.ndarray:
+    """Vectorized key -> [N, 30] uint8 base-character matrix."""
+    shifts = np.array([2 * (29 - j) for j in range(30)], dtype=np.uint64)
+    codes = ((keys[:, None] >> shifts[None, :]) & np.uint64(3)).astype(np.uint8)
+    return np.frombuffer(b"ACGT", dtype=np.uint8)[codes]
+
+
+def _gen_fixture():
     os.makedirs(CACHE, exist_ok=True)
-    done = os.path.join(CACHE, "fixture.json")
+    done = os.path.join(CACHE, "fixture_full.json")
     if os.path.exists(done):
         return json.load(open(done))
     rng = np.random.default_rng(SEED)
-    log("generating fixture (one-time)...")
+    log(f"generating full-scale fixture ({N_PROBES / 1e6:.0f}M probes, one-time)...")
 
     wdir = os.path.join(CACHE, "bench10")
     os.makedirs(wdir, exist_ok=True)
@@ -70,9 +96,7 @@ def _gen_fixture():
         num_targ = 5982
         rows = [f"{rng.integers(2, num_targ)}\tACC{i:06d}" for i in range(14791)]
         data_txt = "\n".join(rows) + "\n"
-        tree_txt = "\n".join(
-            f"1\t{t}" for t in range(2, num_targ)
-        ) + "\n"
+        tree_txt = "\n".join(f"1\t{t}" for t in range(2, num_targ)) + "\n"
     open(os.path.join(wdir, "bench10_data.txt"), "w").write(data_txt)
     open(os.path.join(wdir, "bench10_tree.txt"), "w").write(tree_txt)
 
@@ -83,101 +107,144 @@ def _gen_fixture():
     )
     targs_pool = targs_pool[targs_pool > 1]
     raw = rng.integers(0, 1 << 60, size=int(N_PROBES * 1.1), dtype=np.uint64)
-    canon = np.minimum(raw, np.array([_revcomp_vec(raw)])[0])
+    canon = np.minimum(raw, _revcomp_vec(raw))
     keys = np.unique(canon)[:N_PROBES]
     rng.shuffle(keys)
     targets = targs_pool[rng.integers(0, len(targs_pool), size=len(keys))]
-    log(f"writing {len(keys)} probes...")
-    with gzip.open(os.path.join(wdir, "bench10_probes.txt.gz"), "wt", compresslevel=1) as f:
-        strings = _keys_to_strings(keys)
-        for i, s in enumerate(strings):
-            f.write(f"{s},{targets[i]},0,0,F,3\n")
+    log(f"writing {len(keys)} probes (gz text)...")
+    t0 = time.time()
+    # fixed-width lines (30 bases + ",TTTT,0,0,F,3\n" = 44 B) written chunked
+    with gzip.open(
+        os.path.join(wdir, "bench10_probes.txt.gz"), "wb", compresslevel=1
+    ) as f:
+        CH = 1_000_000
+        for s in range(0, len(keys), CH):
+            ke = keys[s : s + CH]
+            te = targets[s : s + CH]
+            n = len(ke)
+            lines = np.zeros((n, 44), dtype=np.uint8)
+            lines[:, :30] = _keys_to_char_matrix(ke)
+            lines[:, 30] = ord(",")
+            d = te.astype(np.int64)
+            for col, div in ((31, 1000), (32, 100), (33, 10), (34, 1)):
+                lines[:, col] = ord("0") + (d // div) % 10
+            lines[:, 35:44] = np.frombuffer(b",0,0,F,3\n", dtype=np.uint8)
+            f.write(lines.tobytes())
+    log(f"  probes written in {time.time() - t0:.0f}s")
 
-    # reads
+    # short reads: vectorized planting of probe 30-mers
     log(f"writing {N_READS} reads...")
+    t0 = time.time()
     base_chars = np.frombuffer(b"ACGT", dtype=np.uint8)
-    reads = base_chars[rng.integers(0, 4, size=(N_READS, READ_LEN))]
-    kinds = rng.random(N_READS)
-    probe_strings = strings[:100_000]
+    reads = base_chars[rng.integers(0, 4, size=(N_READS, READ_LEN), dtype=np.uint8)]
+    pcm = _keys_to_char_matrix(keys[:100_000])  # plantable probe subset
     ptargets = targets[:100_000]
-    by_target: dict[int, list[int]] = {}
-    for i, t in enumerate(ptargets):
-        by_target.setdefault(int(t), []).append(i)
-    tlist = [t for t, v in by_target.items() if len(v) >= 3]
-    for r in range(N_READS):
-        if kinds[r] < 0.6:  # consistent: 1-3 probes of one target
-            t = tlist[int(rng.integers(len(tlist)))]
-            pis = by_target[t]
-            for j in range(int(rng.integers(1, 4))):
-                p = probe_strings[pis[int(rng.integers(len(pis)))]]
-                pos = int(rng.integers(0, READ_LEN - 30))
-                reads[r, pos : pos + 30] = np.frombuffer(p.encode(), np.uint8)
-        elif kinds[r] < 0.7:  # mixed targets
-            for j in range(2):
-                p = probe_strings[int(rng.integers(len(probe_strings)))]
-                pos = int(rng.integers(0, READ_LEN - 30))
-                reads[r, pos : pos + 30] = np.frombuffer(p.encode(), np.uint8)
-        # else: random/unclassified
+    # per-target contiguous ranges for consistent-read sampling
+    order = np.argsort(ptargets, kind="stable")
+    ts = ptargets[order]
+    tvals, tstart, tcount = np.unique(ts, return_index=True, return_counts=True)
+    ok = tcount >= 3
+    tvals, tstart, tcount = tvals[ok], tstart[ok], tcount[ok]
+    kinds = rng.random(N_READS)
+    cons = kinds < 0.6
+    mixed = (kinds >= 0.6) & (kinds < 0.7)
+    # consistent reads: 1-3 probes of one target
+    ci = np.nonzero(cons)[0]
+    tsel = rng.integers(0, len(tvals), size=len(ci))
+    nplant = rng.integers(1, 4, size=len(ci))
+    for j in range(3):
+        m = nplant > j
+        rows = ci[m]
+        pidx = order[tstart[tsel[m]] + rng.integers(0, 1 << 31, size=len(rows)) % tcount[tsel[m]]]
+        pos = rng.integers(0, READ_LEN - 30, size=len(rows))
+        idx = pos[:, None] + np.arange(30)[None, :]
+        reads[rows[:, None], idx] = pcm[pidx]
+    # mixed reads: 2 probes of random targets
+    mi = np.nonzero(mixed)[0]
+    for j in range(2):
+        pidx = rng.integers(0, len(pcm), size=len(mi))
+        pos = rng.integers(0, READ_LEN - 30, size=len(mi))
+        idx = pos[:, None] + np.arange(30)[None, :]
+        reads[mi[:, None], idx] = pcm[pidx]
     qual = np.full((N_READS, READ_LEN), ord("J"), dtype=np.uint8)
     tail = rng.random(N_READS) < 0.1
     qual[tail, READ_LEN - 25 :] = ord("#")
+    # fixed-width records: "@r0000000\n" + seq + "\n+\n" + qual + "\n"
     with gzip.open(os.path.join(CACHE, "reads.fastq.gz"), "wb", compresslevel=1) as f:
-        chunks = []
-        for r in range(N_READS):
-            chunks.append(
-                b"@r%d\n%s\n+\n%s\n"
-                % (r, reads[r].tobytes(), qual[r].tobytes())
-            )
-            if len(chunks) >= 10000:
-                f.write(b"".join(chunks))
-                chunks = []
-        f.write(b"".join(chunks))
+        CH = 100_000
+        rec_len = 10 + READ_LEN + 1 + 2 + READ_LEN + 1
+        for s in range(0, N_READS, CH):
+            n = min(CH, N_READS - s)
+            block = np.zeros((n, rec_len), dtype=np.uint8)
+            block[:, 0] = ord("@")
+            block[:, 1] = ord("r")
+            d = (np.arange(s, s + n)).astype(np.int64)
+            for col, div in zip(range(2, 9), (10**6, 10**5, 10**4, 10**3, 100, 10, 1)):
+                block[:, col] = ord("0") + (d // div) % 10
+            block[:, 9] = ord("\n")
+            block[:, 10 : 10 + READ_LEN] = reads[s : s + n]
+            block[:, 10 + READ_LEN] = ord("\n")
+            block[:, 11 + READ_LEN] = ord("+")
+            block[:, 12 + READ_LEN] = ord("\n")
+            block[:, 13 + READ_LEN : 13 + 2 * READ_LEN] = qual[s : s + n]
+            block[:, -1] = ord("\n")
+            f.write(block.tobytes())
+    log(f"  reads written in {time.time() - t0:.0f}s")
 
-    meta = {"wdir": wdir, "reads": os.path.join(CACHE, "reads.fastq.gz"),
-            "n_reads": N_READS, "num_targ": num_targ}
+    # long-read FASTA lane: 10kb contigs, probes planted every ~500bp
+    log(f"writing {N_LONG} long contigs...")
+    contigs = base_chars[rng.integers(0, 4, size=(N_LONG, LONG_LEN), dtype=np.uint8)]
+    for s in range(0, LONG_LEN - 30, 500):
+        pidx = rng.integers(0, len(pcm), size=N_LONG)
+        off = s + rng.integers(0, 470, size=N_LONG)
+        idx = off[:, None] + np.arange(30)[None, :]
+        contigs[np.arange(N_LONG)[:, None], idx] = pcm[pidx]
+    with open(os.path.join(CACHE, "long.fasta"), "wb") as f:
+        for i in range(N_LONG):
+            f.write(b">c%d\n" % i)
+            f.write(contigs[i].tobytes())
+            f.write(b"\n")
+
+    meta = {
+        "wdir": wdir,
+        "reads": os.path.join(CACHE, "reads.fastq.gz"),
+        "long": os.path.join(CACHE, "long.fasta"),
+        "n_reads": N_READS,
+        "n_long": N_LONG,
+        "long_len": LONG_LEN,
+        "num_targ": num_targ,
+        "n_probes": int(len(keys)),
+    }
     json.dump(meta, open(done, "w"))
     return meta
-
-
-def _revcomp_vec(keys: np.ndarray) -> np.ndarray:
-    """Vectorized 60-bit reverse complement."""
-    k = keys.copy()
-    out = np.zeros_like(k)
-    three = np.uint64(3)
-    for _ in range(30):
-        out = (out << np.uint64(2)) | ((three - (k & three)) & three)
-        k >>= np.uint64(2)
-    return out
-
-
-def _keys_to_strings(keys: np.ndarray) -> np.ndarray:
-    """Vectorized key -> 30-char string array."""
-    shifts = np.array([2 * (29 - j) for j in range(30)], dtype=np.uint64)
-    codes = ((keys[:, None] >> shifts[None, :]) & np.uint64(3)).astype(np.uint8)
-    chars = np.frombuffer(b"ACGT", dtype=np.uint8)[codes]
-    return np.array([row.tobytes().decode() for row in chars])
 
 
 # ----------------------------------------------------------------- baseline
 
 
 def _reference_baseline(meta) -> float:
-    """Reference reads/sec, cached. (full job − 1-read job) wall time."""
-    bl_path = os.path.join(CACHE, "baseline.json")
+    """Reference reads/sec at its production table size (2^30 cells, 24 GiB),
+    cached.
+
+    Methodology: ONE binary invocation running two jobs (tiny, then full) so
+    the DB text parse + 24 GiB table memset happen exactly once; the classify
+    time of the full job is the mtime delta between the two jobs'
+    ``_result.txt`` files (each is written as its job completes,
+    kmer_read_vf6.cpp:1159-1162).  Cross-process differencing is hopeless
+    here — load time (~3-5 min) varies more than the classify time itself.
+    """
+    bl_path = os.path.join(CACHE, "baseline_full.json")
     if os.path.exists(bl_path):
         return json.load(open(bl_path))["reads_per_sec"]
     sys.path.insert(0, os.path.join(ROOT, "tests"))
     import golden_harness as gh
 
-    binary = gh._compile(
-        "kmer_read_vf6.cpp",
-        "ref_read_vf6_bench",
-        [("const itype MAXHASH = (1 << 30);", "const itype MAXHASH = (1 << 26);")],
-    )
+    binary = gh._compile("kmer_read_vf6.cpp", "ref_read_vf6_bench_full", [])
     if binary is None:
         return 0.0
     workdir = os.path.join(CACHE, "refrun")
-    os.makedirs(os.path.join(workdir, "jobs"), exist_ok=True)
+    jdir = os.path.join(workdir, "jobs")
+    os.makedirs(jdir, exist_ok=True)
     os.makedirs(os.path.join(workdir, "bench10"), exist_ok=True)
     for f in os.listdir(meta["wdir"]):
         src = os.path.join(meta["wdir"], f)
@@ -190,39 +257,44 @@ def _reference_baseline(meta) -> float:
         with gzip.open(meta["reads"], "rb") as fi, gzip.open(tiny, "wb") as fo:
             for _ in range(400):
                 fo.write(fi.readline())
-    open(os.path.join(workdir, "jobs", "jobs.txt"), "w").write(
+
+    open(os.path.join(jdir, "jobs.txt"), "w").write(
         f"tiny 1\n{tiny}\nfull 1\n{meta['reads']}\n"
     )
-
-    def run_job(jobs_content):
-        open(os.path.join(workdir, "jobs", "jobs.txt"), "w").write(jobs_content)
-        t0 = time.time()
-        r = subprocess.run(
-            [binary, "-name", "bench10", "-jname", "jobs"],
-            cwd=workdir, capture_output=True, text=True, timeout=3600,
-        )
-        assert r.returncode == 0, r.stdout[-500:] + r.stderr[-500:]
-        return time.time() - t0
-
-    log("warming reference caches (tiny job)...")
-    run_job(f"tiny 1\n{tiny}\n")  # page-cache/alloc warmup, discarded
-    log("timing reference (tiny job)...")
-    t_tiny = run_job(f"tiny 1\n{tiny}\n")
-    log(f"  tiny: {t_tiny:.1f}s (DB load + 100 reads)")
-    log("timing reference (full job)...")
-    t_full = run_job(f"full 1\n{meta['reads']}\n")
-    log(f"  full: {t_full:.1f}s")
-    dt = max(t_full - t_tiny, 1e-3)
-    rps = (meta["n_reads"] - 100) / dt
+    log("timing reference (one process: DB load + tiny job + 1M-read job)...")
+    t0 = time.time()
+    r = subprocess.run(
+        [binary, "-name", "bench10", "-jname", "jobs"],
+        cwd=workdir, capture_output=True, text=True, timeout=7200,
+    )
+    assert r.returncode == 0, r.stdout[-500:] + r.stderr[-500:]
+    wall = time.time() - t0
+    dt = max(
+        os.path.getmtime(os.path.join(jdir, "full_result.txt"))
+        - os.path.getmtime(os.path.join(jdir, "tiny_result.txt")),
+        1e-3,
+    )
+    rps = meta["n_reads"] / dt
     json.dump(
-        {"reads_per_sec": rps, "t_tiny": t_tiny, "t_full": t_full},
+        {"reads_per_sec": rps, "classify_s": dt, "wall_s": wall},
         open(bl_path, "w"),
     )
-    log(f"reference baseline: {rps:,.0f} reads/s")
+    log(f"reference baseline: {rps:,.0f} reads/s "
+        f"(classify {dt:.1f}s of {wall:.1f}s total)")
     return rps
 
 
 # ----------------------------------------------------------------- ours
+
+
+def _hbm_bytes() -> int:
+    try:
+        import jax
+
+        st = jax.local_devices()[0].memory_stats()
+        return int(st.get("bytes_in_use", 0)) if st else 0
+    except Exception:
+        return 0
 
 
 def _our_throughput(meta) -> tuple[float, dict]:
@@ -237,38 +309,103 @@ def _our_throughput(meta) -> tuple[float, dict]:
         os.path.join(wdir, "bench10_tree.txt"),
         os.path.join(wdir, "bench10_probes.txt.gz"),
         num_targ=meta["num_targ"],
-        cache_dir=os.path.join(CACHE, "packed"),
+        cache_dir=os.path.join(CACHE, "packed_full"),
     )
     t_load = time.time() - t0
     log(f"DB load: {t_load:.1f}s ({len(db.packed)} probes)")
 
+    t0 = time.time()
     cfg = ClassifyConfig.preset("vf6", batch_size=8192, max_len=160)
-    clf = make_classifier(db, cfg, cache_dir=os.path.join(CACHE, "packed"))
+    clf = make_classifier(db, cfg, cache_dir=os.path.join(CACHE, "packed_full"))
+    t_clf = time.time() - t0
+    from kmer_id_tpu.engine.fpclassify import FpClassifier
+
+    engine = type(clf).__name__
+    log(f"classifier ready in {t_clf:.1f}s (engine={engine}, "
+        f"slots={getattr(getattr(clf, 'fpdb', None), 'n_slots', 0)})")
+    assert isinstance(clf, FpClassifier), "flagship engine must load this DB"
 
     # warmup: compile on a small slice
     warm = SampleProcessor(clf, cfg)
     recs = iter_fastq_gz(meta["reads"])
-    warm_records = [next(recs) for _ in range(4096)]
+    warm_records = [next(recs) for _ in range(8192)]
     warm.feed(warm_records)
     warm.finish()
-    log("warmup/compile done")
+    hbm = _hbm_bytes()
+    log(f"warmup/compile done (HBM in use: {hbm / 1e9:.2f} GB)")
 
+    runs = []
+    classified = 0.0
+    for i in range(N_RUNS):
+        t0 = time.time()
+        sp = SampleProcessor(clf, cfg)
+        sp.feed_file(meta["reads"], fmt="fastq_gz")
+        res = sp.finish()
+        dt = time.time() - t0
+        rps = res.reads / dt
+        classified = 100 * (1 - res.gcount[0] / max(res.reads, 1))
+        log(f"run {i + 1}/{N_RUNS}: {res.reads} reads in {dt:.2f}s -> "
+            f"{rps:,.0f} reads/s (classified {classified:.1f}%)")
+        runs.append(rps)
+    p50 = float(np.median(runs))
+
+    # long-read FASTA lane (secondary metric)
     t0 = time.time()
     sp = SampleProcessor(clf, cfg)
-    sp.feed_file(meta["reads"], fmt="fastq_gz")
-    res = sp.finish()
-    dt = time.time() - t0
-    rps = res.reads / dt
-    log(f"ours: {res.reads} reads in {dt:.2f}s -> {rps:,.0f} reads/s "
-        f"(classified {100 * (1 - res.gcount[0] / max(res.reads, 1)):.1f}%)")
-    return rps, {"db_load_s": round(t_load, 2), "wall_s": round(dt, 2),
-                 "reads": int(res.reads)}
+    sp.feed_file(meta["long"], fmt="fasta")
+    lres = sp.finish()
+    ldt = time.time() - t0
+    lbps = meta["n_long"] * meta["long_len"] / ldt
+    log(f"long-read lane: {meta['n_long']} x {meta['long_len']}bp in {ldt:.1f}s "
+        f"-> {lbps / 1e6:.1f} Mbase/s")
+
+    return p50, {
+        "db_load_s": round(t_load, 2),
+        "runs": [round(r, 1) for r in runs],
+        "reads": int(meta["n_reads"]),
+        "db_probes": int(len(db.packed)),
+        "classified_pct": round(float(classified), 1),
+        "hbm_bytes_in_use": hbm,
+        "long_read_mbase_per_s": round(lbps / 1e6, 2),
+    }
+
+
+def _history_guard(p50: float) -> dict:
+    """Append to .bench_history.jsonl; flag a >15% p50 drop vs the best of
+    the last 5 recorded runs."""
+    hist_path = os.path.join(ROOT, ".bench_history.jsonl")
+    prior = []
+    if os.path.exists(hist_path):
+        with open(hist_path) as f:
+            prior = [json.loads(l) for l in f if l.strip()]
+    recent = [h["p50"] for h in prior[-5:] if "p50" in h]
+    out = {}
+    if recent and p50 < 0.85 * max(recent):
+        out["regression"] = {
+            "p50": round(p50, 1),
+            "best_recent": round(max(recent), 1),
+            "drop_pct": round(100 * (1 - p50 / max(recent)), 1),
+        }
+        log(f"REGRESSION: p50 {p50:,.0f} is {out['regression']['drop_pct']}% "
+            f"below best-of-last-5 {max(recent):,.0f}")
+    commit = ""
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=ROOT,
+            capture_output=True, text=True,
+        ).stdout.strip()
+    except Exception:
+        pass
+    with open(hist_path, "a") as f:
+        f.write(json.dumps({"ts": time.time(), "p50": p50, "commit": commit}) + "\n")
+    return out
 
 
 def main():
     meta = _gen_fixture()
     ref_rps = _reference_baseline(meta)
     ours_rps, extra = _our_throughput(meta)
+    guard = _history_guard(ours_rps)
     out = {
         "metric": "reads_per_sec_per_chip",
         "value": round(ours_rps, 1),
@@ -276,6 +413,7 @@ def main():
         "vs_baseline": round(ours_rps / ref_rps, 3) if ref_rps else None,
         "baseline_reads_per_sec": round(ref_rps, 1),
         **extra,
+        **guard,
     }
     print(json.dumps(out))
 

@@ -140,11 +140,21 @@ def _parse_probes_fast(path) -> ProbeRecords | None:
     # tokens per line with an empty first token; drop empties via fromiter?
     # np.loadtxt skips empty lines, leaving exactly 5 ints per probe line.
     import io as _io
+    import warnings
 
     try:
-        nums = np.loadtxt(_io.BytesIO(num_blob), dtype=np.int64, ndmin=1)
-    except ValueError:
-        return None
+        # np.fromstring's text mode is deprecated but ~4x faster than
+        # np.loadtxt; on multi-10M-probe DBs this is the parse hot spot.
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            nums = np.fromstring(num_blob, dtype=np.int64, sep="\n")
+        if nums.size != 5 * nlines:
+            nums = np.loadtxt(_io.BytesIO(num_blob), dtype=np.int64, ndmin=1)
+    except (ValueError, AttributeError):
+        try:
+            nums = np.loadtxt(_io.BytesIO(num_blob), dtype=np.int64, ndmin=1)
+        except ValueError:
+            return None
     if nums.size != 5 * nlines:
         return None
     nums = nums.reshape(nlines, 5)

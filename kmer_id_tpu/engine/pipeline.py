@@ -159,6 +159,10 @@ class SampleProcessor:
         self.reads = 0
         self.seen = clf.new_seen()
         self.batcher = ReadBatcher(clf.batch_size, clf.max_len, u_is_t=cfg.u_is_t)
+        # verify mode replays reads sequentially host-side and needs the
+        # full-read trim metadata only the Python batcher carries
+        if cfg.minalign > 0:
+            use_native = False
         self.native = native_available() if use_native is None else use_native
         self._feeder = (
             NativePlaneFeeder(clf.batch_size, clf.max_len, cfg.u_is_t)
@@ -298,10 +302,12 @@ class SampleProcessor:
         metas = batch.metas
         for i in range(batch.n_rows):
             meta = metas[i]
+            full_len = meta.full_len if meta.full_len >= 0 else len(meta.trimmed_seq)
             final = replay_read(
                 self.clf.taxonomy, self.clf.packed_db, detail[i],
-                meta.trimmed_seq, len(meta.trimmed_seq), v["verifier"],
+                meta.trimmed_seq, full_len, v["verifier"],
                 self.gcount, v["ucount"], v["kmer_seen"], keys[i],
+                trim_start=meta.trim_start,
             )
             self._account(final, meta)
 

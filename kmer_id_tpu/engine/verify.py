@@ -104,12 +104,16 @@ def replay_read(
     ucount: np.ndarray,
     kmer_seen: set,
     keys_row: np.ndarray,
+    trim_start: int = 0,
 ) -> int:
     """Replay one read's per-window loop exactly (newkmer_10nx.cpp:526-616).
 
     ``detail_row``: per-window packed hit info — 0 = miss, else
     ``(probe_idx+1) * (+1 fwd / -1 rev)``; window s's k-mer ends at
-    ``s + KSIZE - 1`` *within the trimmed read*.
+    ``s + KSIZE - 1`` *within the trimmed read* — the reference's ``it1``
+    counts from the full sequence start, so the verifier gets
+    ``trim_start + s + KSIZE - 1``.
+    ``full_len``: UNtrimmed read length (minscr base, newkmer_10nx.cpp:474).
     ``keys_row``: canonical uint64 key per window (for kmer_seen).
     """
     final = 0
@@ -125,7 +129,11 @@ def replay_read(
             and target != final
         ):
             if not verifier.check(
-                trimmed_seq, full_len, probe_idx, int(s) + KSIZE - 1, read_fstrand
+                trimmed_seq,
+                full_len,
+                probe_idx,
+                trim_start + int(s) + KSIZE - 1,
+                read_fstrand,
             ):
                 target = 0
         if final > 0 and target > 0:

@@ -30,6 +30,11 @@ from kmer_id_tpu.core.trim import trim_batch
 class RowMeta:
     acc: str
     trimmed_seq: str  # seq[start : stop+1] — the saved-read payload
+    # Alignment-verify replay needs full-read coordinates: the reference's
+    # minscr uses the UNtrimmed length (newkmer_10nx.cpp:474) and its k-mer
+    # end index it1 counts from the full sequence start (:475,532).
+    full_len: int = -1  # len(seq) before trimming; -1 = len(trimmed_seq)
+    trim_start: int = 0  # index of trimmed_seq[0] within the full sequence
 
 
 @dataclass
@@ -158,7 +163,9 @@ class ReadBatcher:
                 b0, b1 = 0, len(s.seq) - 1
             sub = s.seq[b0 : b1 + 1]
             codes = self.lut[np.frombuffer(sub.encode("latin-1", "replace"), np.uint8)]
-            meta = RowMeta(acc=s.acc, trimmed_seq=sub)
+            meta = RowMeta(
+                acc=s.acc, trimmed_seq=sub, full_len=len(s.seq), trim_start=b0
+            )
             if len(codes) > self.max_len:
                 self._rows.append(LongRead(meta=meta, codes=codes))
             else:

@@ -197,3 +197,40 @@ def test_readbatch10_report_matches_reference_script(world, tmp_path):
 
     readbatch_10(str(rdir) + "/", str(refkey), str(tmp_path / "got.csv"), exclude=set())
     assert (tmp_path / "got.csv").read_bytes() == (tmp_path / "ref.csv").read_bytes()
+
+
+def test_target_capture_bytes_match_reference(world):
+    """vf6 ``-target N`` second capture file (kmer_read_vf6.cpp:612-620,
+    1124-1128): all reads whose final target == N land in
+    ``<job>_target_reads.txt``, and the main ``_reads.txt`` capture is
+    disabled (still created empty)."""
+    from kmer_id_tpu.config import ClassifyConfig
+    from kmer_id_tpu.engine.pipeline import load_db, run_vf6
+
+    root, wdir = world["root"], world["wdir"]
+    read_bin = gh.classifier_vf6_binary()
+    jdir2 = root / "jobs2"
+    jdir2.mkdir(exist_ok=True)
+    fa = root / "reads.fasta"
+    fq = root / "reads.fastq.gz"
+    (jdir2 / "jobs2.txt").write_text(f"tjob 2\n{fa}\n{fq}\n")
+
+    r = gh.run(read_bin, ["-name", NAME, "-jname", "jobs2", "-target", "3"],
+               cwd=str(root))
+    assert r.returncode == 0, r.stdout + r.stderr
+    ref = {}
+    for f in ("tjob_result.txt", "tjob_reads.txt", "tjob_target_reads.txt"):
+        ref[f] = (jdir2 / f).read_bytes()
+        (jdir2 / f).unlink()
+    assert len(ref["tjob_target_reads.txt"]) > 0  # target 3 reads captured
+    assert ref["tjob_reads.txt"] == b""  # main capture gated off
+
+    db = load_db(
+        str(wdir / f"{NAME}_data.txt"),
+        str(wdir / f"{NAME}_tree.txt"),
+        str(wdir / f"{NAME}_probes.txt.gz"),
+    )
+    cfg = ClassifyConfig.preset("vf6", batch_size=16, max_len=128, save_target=3)
+    run_vf6(NAME, "jobs2", db, cfg=cfg, root=str(root))
+    for f in ("tjob_result.txt", "tjob_reads.txt", "tjob_target_reads.txt"):
+        assert (jdir2 / f).read_bytes() == ref[f], f
