@@ -206,3 +206,25 @@ class Taxonomy:
     def device_tables(self) -> dict[str, np.ndarray]:
         """Arrays consumed by the jitted fold kernels (ops/fold.py)."""
         return {"depth": self.depth, "anc": self.anc}
+
+    def chain_tables(self) -> tuple[np.ndarray, np.ndarray]:
+        """Ancestor-chain interval tables for the device msca fold
+        (ops/fold.fold_targets_interval).
+
+        ``chain3`` int32 [n, D, 3]: for each node t and depth d, the
+        (node, tin, tout) of t's ancestor at depth d; entries beyond
+        depth[t] hold (0, INT32_MAX, -1) so they never satisfy an interval
+        containment test.  ``tax3`` int32 [n, 3]: each node's own
+        (tin, tout, depth).  Real taxonomies are shallow (bact10 depth 4,
+        mito depth 5), so these tables are a few hundred KB and gathers
+        into them run in the fast small-table zone.
+        """
+        n, d = self.anc.shape
+        chain3 = np.empty((n, d, 3), dtype=np.int32)
+        valid = self.anc >= 0
+        a = np.clip(self.anc, 0, n - 1)
+        chain3[:, :, 0] = np.where(valid, a, 0)
+        chain3[:, :, 1] = np.where(valid, self.tin[a], np.int32(2**31 - 1))
+        chain3[:, :, 2] = np.where(valid, self.tout[a], -1)
+        tax3 = np.stack([self.tin, self.tout, self.depth], axis=1).astype(np.int32)
+        return chain3, tax3

@@ -168,7 +168,7 @@ def fp_finals(db, ex, seen, max_hits: int):
 
     Returns (finals int32 [B], seen int8 [n_slots]).
     """
-    from kmer_id_tpu.ops.fold import fold_targets
+    from kmer_id_tpu.ops.fold import fold_targets_interval
 
     b = ex["hi"].shape[0]
     cv = _compact_verify(db, ex, max_hits)
@@ -183,10 +183,18 @@ def fp_finals(db, ex, seen, max_hits: int):
     seen = seen.at[sc.reshape(-1)].max(sv.reshape(-1), mode="promise_in_bounds")
 
     # final call: consistent reads take the deepest hit's target; the rest get
-    # the exact window-ordered msca fold (holes/misses are 0 and are skipped)
+    # the exact window-ordered msca fold (holes/misses are 0 and are skipped).
+    # The fold runs under a batch-level lax.cond: virtually all real reads are
+    # consistent (probes are >= 31 bases apart per genome), so the scan is
+    # usually skipped entirely at runtime.
     t = jnp.where(ver, jnp.take(st, cand32.reshape(-1)).reshape(b, max_hits), 0)
     dtgt = jnp.take(st, deepest)
-    folded = fold_targets(db["anc"], db["depth"], t)
+    need_fold = jnp.any(~consistent & (nh > 0))
+    folded = jax.lax.cond(
+        need_fold,
+        lambda: fold_targets_interval(db["chain3"], t),
+        lambda: jnp.zeros((b,), jnp.int32),
+    )
     finals = jnp.where(consistent, jnp.where(nh > 0, dtgt, 0), folded)
     finals = jnp.where(overflow, finals | jnp.int32(1 << 30), finals)
     return finals, seen
@@ -276,6 +284,7 @@ class FpClassifier:
             "fp_s3": jnp.uint32(f.s3),
             "slot_target": jnp.asarray(f.slot_target),
             "anc": jnp.asarray(taxonomy.anc),
+            "chain3": jnp.asarray(taxonomy.chain_tables()[0]),
             "depth": jnp.asarray(taxonomy.depth),
         }
 

@@ -114,6 +114,104 @@ def compact_hits(anc: jax.Array, depth: jax.Array, targets: jax.Array, max_hits:
     )
 
 
+def fold_targets_interval(chain3: jax.Array, targets: jax.Array) -> jax.Array:
+    """Ordered per-read msca fold via ancestor-chain intervals — the cheap
+    device formulation used by the fp engine's inconsistent-read branch.
+
+    Semantically identical to :func:`fold_targets` (tested equal), but
+    restructured for the TPU's cost model: ``fold_targets``'s scan step runs
+    ~15 *separate* gather kernels (is-ancestor checks + an LCA binary
+    search), ~1 ms/step; here ALL taxonomy data is pre-gathered in one pass
+    ([B, P, D, 3] ancestor-chain rows from the small ``chain3`` table,
+    core/taxonomy.chain_tables) and each scan step is pure elementwise
+    interval math plus one take_along_axis:
+
+    * descend (f ancestor-or-self of t): ``ftin <= ttin <= ftout``;
+    * stay (t ancestor of f): ``ttin <= ftin <= ttout``;
+    * else LCA = the deepest entry of f's carried ancestor chain whose
+      interval contains t — the qualifying entries are a prefix of the
+      chain (ancestor intervals nest), so it's ``sum(qualify) - 1``.
+
+    Matches the reference's ``msca(target, final)`` including the equal-node
+    case (descend wins, returning x=target; ``newkmer_10nx.cpp:118-144``).
+
+    Args:
+      chain3: int32 [n, D, 3] from Taxonomy.chain_tables().
+      targets: int32 [B, P] per-window targets in window order, 0 = miss.
+
+    Returns: int32 [B] final target (0 = unclassified).
+    """
+    b, p = targets.shape
+    n, d, _ = chain3.shape
+    t = jnp.clip(targets, 0, n - 1)
+    rows = jnp.take(chain3, t.reshape(-1), axis=0).reshape(b, p, d, 3)
+    # each node's own (tin, tout) = the deepest valid chain entry; rather
+    # than a second table gather, read it from the row at the node's depth:
+    # entries beyond depth are (0, INT32_MAX, -1) so a max over valid tins
+    # with the invalid sentinel masked gives tin; simpler: qualify-count of
+    # t against its own chain is depth[t]+1 and the entry there is t itself.
+    # We just take the per-window interval from the deepest valid entry.
+    valid_e = rows[:, :, :, 2] >= 0  # [B, P, D]
+    last = jnp.maximum(valid_e.sum(axis=2) - 1, 0)  # own depth
+    own = jnp.take_along_axis(rows, last[:, :, None, None], axis=2)[:, :, 0, :]
+    ttin_all = own[:, :, 1]  # [B, P]
+    ttout_all = own[:, :, 2]
+
+    sent = jnp.int32(2**31 - 1)
+    f0 = jnp.zeros((b,), jnp.int32)
+    ftin0 = jnp.full((b,), sent)
+    ftout0 = jnp.full((b,), -1, jnp.int32)
+    chain0 = jnp.zeros((b, d, 3), jnp.int32).at[:, :, 1].set(sent)
+    chain0 = chain0.at[:, :, 2].set(-1)
+
+    def step(carry, x):
+        f, ftin, ftout, chain = carry
+        tcol, ttin, ttout, tchain = x
+        has = tcol > 0
+        fnone = f == 0
+        descend = (ftin <= ttin) & (ttin <= ftout)
+        stay = (ttin <= ftin) & (ftin <= ttout)
+        q = (chain[:, :, 1] <= ttin[:, None]) & (ttin[:, None] <= chain[:, :, 2])
+        jstar = jnp.maximum(q.sum(axis=1) - 1, 0)
+        lca = jnp.take_along_axis(chain, jstar[:, None, None], axis=1)[:, 0, :]
+        dmask = (
+            jax.lax.broadcasted_iota(jnp.int32, (b, d), 1) <= jstar[:, None]
+        )
+        trunc = jnp.where(
+            dmask[:, :, None],
+            chain,
+            jnp.stack(
+                [jnp.zeros_like(chain[:, :, 0]),
+                 jnp.full_like(chain[:, :, 1], sent),
+                 jnp.full_like(chain[:, :, 2], -1)], axis=2,
+            ),
+        )
+        nf = jnp.where(descend, tcol, jnp.where(stay, f, lca[:, 0]))
+        nftin = jnp.where(descend, ttin, jnp.where(stay, ftin, lca[:, 1]))
+        nftout = jnp.where(descend, ttout, jnp.where(stay, ftout, lca[:, 2]))
+        nchain = jnp.where(
+            descend[:, None, None], tchain,
+            jnp.where(stay[:, None, None], chain, trunc),
+        )
+        adopt = has & fnone
+        use = has & ~fnone
+        f = jnp.where(adopt, tcol, jnp.where(use, nf, f))
+        ftin = jnp.where(adopt, ttin, jnp.where(use, nftin, ftin))
+        ftout = jnp.where(adopt, ttout, jnp.where(use, nftout, ftout))
+        sel = jnp.where(adopt, 0, jnp.where(use, 1, 2))[:, None, None]
+        chain = jnp.where(sel == 0, tchain, jnp.where(sel == 1, nchain, chain))
+        return (f, ftin, ftout, chain), None
+
+    xs = (
+        jnp.transpose(t, (1, 0)),
+        jnp.transpose(ttin_all, (1, 0)),
+        jnp.transpose(ttout_all, (1, 0)),
+        jnp.transpose(rows, (1, 0, 2, 3)),
+    )
+    (f, _, _, _), _ = jax.lax.scan(step, (f0, ftin0, ftout0, chain0), xs)
+    return f
+
+
 def fold_targets(
     anc: jax.Array,
     depth: jax.Array,

@@ -10,8 +10,11 @@ resolved to the first occurrence at DB build time, matching first-insert-wins
 probing).
 
 An optional first-level bucket index over the top ``bucket_bits`` of the key
-narrows the search range and cuts the gather rounds on large DBs; the Pallas
-kernel in ``lookup_pallas.py`` is the tuned fast path.
+narrows the search range and cuts the gather rounds on large DBs.  This
+binary-search layout is the legacy/sharded-lookup path; the production
+single-chip hot path is the fingerprint-cuckoo layout (db/fpdb.py +
+fp_candidates below), which replaces the log2(N) gather rounds with 2 narrow
+row-gathers per window.
 """
 
 from __future__ import annotations

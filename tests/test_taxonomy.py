@@ -56,3 +56,33 @@ def test_cycle_detection():
     parent = np.array([1, 1, 3, 2], dtype=np.int32)  # 2<->3 cycle
     with pytest.raises(ValueError):
         Taxonomy(parent)
+
+
+def test_fold_targets_interval_matches_fold_targets():
+    """The chain-interval device fold (ops/fold.fold_targets_interval) must
+    equal the reference-semantics scan fold on random trees and hit planes."""
+    import jax.numpy as jnp
+
+    from kmer_id_tpu.core.taxonomy import Taxonomy
+    from kmer_id_tpu.ops.fold import fold_targets, fold_targets_interval
+
+    rng = np.random.default_rng(17)
+    for trial in range(6):
+        n = int(rng.integers(6, 60))
+        parent = np.full(n, 1, dtype=np.int32)
+        for t in range(2, n):
+            parent[t] = int(rng.integers(1, t))  # random tree, parents precede
+        tax = Taxonomy(parent)
+        chain3, _ = tax.chain_tables()
+        b, p = 40, int(rng.integers(2, 12))
+        targets = rng.integers(0, n, size=(b, p)).astype(np.int32)
+        targets[rng.random((b, p)) < 0.5] = 0  # misses
+        targets[targets == 1] = 0  # root is never a DB target
+        want = np.asarray(
+            fold_targets(jnp.asarray(tax.anc), jnp.asarray(tax.depth),
+                         jnp.asarray(targets))
+        )
+        got = np.asarray(
+            fold_targets_interval(jnp.asarray(chain3), jnp.asarray(targets))
+        )
+        assert (got == want).all(), (trial, np.nonzero(got != want))
