@@ -238,6 +238,15 @@ def _scatter_plane_seen(seen, plane):
     return seen.at[idx.reshape(-1)].max(v.reshape(-1), mode="promise_in_bounds")
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _scatter_summary_seen(seen, summary):
+    """Mark the verified slots listed in a summary plane (cols 3.., -1 holes)."""
+    slots = summary[:, 3:]
+    v = jnp.where(slots >= 0, jnp.int8(1), jnp.int8(0))
+    idx = jnp.maximum(slots, 0)
+    return seen.at[idx.reshape(-1)].max(v.reshape(-1), mode="promise_in_bounds")
+
+
 @partial(jax.jit, static_argnames=("num_targ",))
 def _ucount_device(seen, slot_target, num_targ: int):
     t = jnp.where((seen > 0) & (slot_target > 1), slot_target, 0)
@@ -352,34 +361,91 @@ class FpClassifier:
         return self.collect(seen, pending)
 
     def process_long(self, seen, item: LongRead):
-        """Reads longer than max_len: chunk with a KSIZE-1 halo through the
-        per-window slots kernel; exact ordered fold host-side."""
-        codes = item.codes
-        tl = len(codes)
+        """Single long read — delegates to the aggregated path."""
+        seen, finals = self.process_long_many(seen, [item])
+        return seen, finals[0]
+
+    def process_long_many(self, seen, items: list):
+        """Reads longer than max_len: KSIZE-1-halo chunks from MANY reads
+        packed into shared planes (one dispatch+fetch roundtrip per ~8192
+        chunks instead of per read — the tunnel roundtrip is ~35 ms, so
+        per-read kernels capped the FASTA lane at ~0.03 reads/s/roundtrip).
+
+        Device runs the summary kernel: the host fetches the compact
+        [rows, 3+max_hits] verified-slot summaries (~30x fewer bytes than the
+        per-window slots plane) and folds each read exactly in window order.
+        Chunk rows whose candidates overflow max_hits fall back to the exact
+        per-window slots plane for their group (rare: ~2^-16 flukes beyond
+        max_hits true hits).  The unique-k-mer scatter happens on device from
+        the same summaries (plus the fallback planes).
+        """
+        from kmer_id_tpu.io.batch import pack_codes
+
         l = self.max_len
         step = l - KSIZE + 1
-        w = tl - KSIZE + 1
-        starts = list(range(0, w, step))
-        parts: list[np.ndarray] = []
-        for g in range(0, len(starts), self.batch_size):
-            group = starts[g : g + self.batch_size]
-            plane = np.full((self.batch_size, l), 4, dtype=np.uint8)
-            lengths = np.zeros(self.batch_size, dtype=np.int32)
-            for r, s in enumerate(group):
-                chunk = codes[s : s + l]
+        specs = []  # (item_idx, start, n_windows_owned)
+        for idx, item in enumerate(items):
+            w = len(item.codes) - KSIZE + 1
+            for s in range(0, max(w, 0), step):
+                specs.append((idx, s, min(step, w - s)))
+        parts: dict[int, list[np.ndarray]] = {i: [] for i in range(len(items))}
+        for g in range(0, len(specs), self.batch_size):
+            group = specs[g : g + self.batch_size]
+            rows = 32
+            while rows < len(group):
+                rows *= 4  # pad buckets: 32/128/512/2048/8192 jit signatures
+            rows = min(max(rows, 32), self.batch_size)
+            plane = np.full((rows, l), 4, dtype=np.uint8)
+            lengths = np.zeros(rows, dtype=np.int32)
+            for r, (idx, s, _) in enumerate(group):
+                chunk = items[idx].codes[s : s + l]
                 plane[r, : len(chunk)] = chunk
                 lengths[r] = len(chunk)
-            sl_dev = _fp_kernel_codes(
-                self._db, jnp.asarray(plane), jnp.asarray(lengths),
-                max_hits=self.max_hits, mode="slots",
+            packed, exc = pack_codes(plane, lengths)
+            if packed is None:  # exception-list overflow: ship the plane
+                summary_dev = _fp_kernel_codes(
+                    self._db, jnp.asarray(plane), jnp.asarray(lengths),
+                    max_hits=self.max_hits, mode="summary",
+                )
+            else:
+                summary_dev = _fp_kernel_packed(
+                    self._db, jnp.asarray(packed), jnp.asarray(exc),
+                    jnp.asarray(lengths), l=l, max_hits=self.max_hits,
+                    mode="summary",
+                )
+            seen = _scatter_summary_seen(seen, summary_dev)
+            summary = np.asarray(summary_dev)
+            overflow = (summary[: len(group), 2] & 2) != 0
+            sl = None
+            if overflow.any():  # exact per-window fallback for this plane
+                if packed is None:
+                    sl_dev = _fp_kernel_codes(
+                        self._db, jnp.asarray(plane), jnp.asarray(lengths),
+                        max_hits=self.max_hits, mode="slots",
+                    )
+                else:
+                    sl_dev = _fp_kernel_packed(
+                        self._db, jnp.asarray(packed), jnp.asarray(exc),
+                        jnp.asarray(lengths), l=l, max_hits=self.max_hits,
+                        mode="slots",
+                    )
+                seen = _scatter_plane_seen(seen, sl_dev)
+                sl = np.asarray(sl_dev)
+            for r, (idx, s, owned) in enumerate(group):
+                if sl is not None and overflow[r]:
+                    parts[idx].append(sl[r, :owned])
+                else:
+                    row = summary[r, 3:]
+                    parts[idx].append(row[row >= 0])
+        finals = []
+        for idx in range(len(items)):
+            slotseq = (
+                np.concatenate(parts[idx]) if parts[idx] else np.zeros(0, np.int32)
             )
-            seen = _scatter_plane_seen(seen, sl_dev)
-            sl = np.asarray(sl_dev)
-            for r, s in enumerate(group):
-                parts.append(sl[r, : min(step, w - s)])
-        slotseq = np.concatenate(parts) if parts else np.zeros(0, np.int32)
-        targets = np.where(slotseq >= 0, self.slot_target[np.maximum(slotseq, 0)], 0)
-        return seen, fold_host(self.taxonomy, targets)
+            slotseq = slotseq[slotseq >= 0]
+            targets = self.slot_target[slotseq] if len(slotseq) else slotseq
+            finals.append(fold_host(self.taxonomy, targets))
+        return seen, finals
 
     # ------------------------------------------------------------ finalize
     def ucount(self, seen) -> np.ndarray:

@@ -279,17 +279,27 @@ class SampleProcessor:
         if not nb.long_rows:
             self._account_batch(finals[: batch.n_rows], metas)
             return
-        long_set = set(nb.long_rows)
+        # resolve all of this batch's long reads in one aggregated pass
+        # (chunks from many reads share device planes — one roundtrip per
+        # ~batch_size chunks); seen-scatter is a set union, so interleaving
+        # with queued batches is safe, and account order stays exact
+        long_items = [
+            LongRead(meta=metas[i], codes=metas.seq_codes(i, self.cfg.u_is_t))
+            for i in nb.long_rows
+        ]
+        if hasattr(self.clf, "process_long_many"):
+            self.seen, long_finals = self.clf.process_long_many(
+                self.seen, long_items
+            )
+        else:
+            long_finals = []
+            for item in long_items:
+                self.seen, f = self.clf.process_long(self.seen, item)
+                long_finals.append(f)
+        long_map = dict(zip(nb.long_rows, long_finals))
         for i in range(batch.n_rows):
-            if i in long_set:
-                meta = metas[i]
-                codes = metas.seq_codes(i, self.cfg.u_is_t)
-                # seen-scatter is a set union: interleaving with queued
-                # batches is safe, and account order stays exact
-                self.seen, final = self.clf.process_long(
-                    self.seen, LongRead(meta=meta, codes=codes)
-                )
-                self._account(int(final), meta)
+            if i in long_map:
+                self._account(int(long_map[i]), metas[i])
             else:
                 self._account(int(finals[i]), None, metas, i)
 
