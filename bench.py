@@ -349,7 +349,11 @@ def _our_throughput(meta) -> tuple[float, dict]:
         runs.append(rps)
     p50 = float(np.median(runs))
 
-    # long-read FASTA lane (secondary metric)
+    # long-read FASTA lane (secondary metric); first pass compiles the
+    # bucketed chunk-plane kernels, so warm separately
+    sp = SampleProcessor(clf, cfg)
+    sp.feed_file(meta["long"], fmt="fasta")
+    sp.finish()
     t0 = time.time()
     sp = SampleProcessor(clf, cfg)
     sp.feed_file(meta["long"], fmt="fasta")

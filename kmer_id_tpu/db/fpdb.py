@@ -1,31 +1,38 @@
-"""Fingerprint-cuckoo probe DB: the transfer-light device lookup layout.
+"""Fingerprint probe DB: the transfer-light two-level device lookup layout.
 
-Motivation (measured on the target chip): XLA random gathers cost ~6-25 ms per
-1M queries and scale with *bytes per row*, so the lookup layout should make
-the per-window probe as narrow as possible and defer the wide payload to the
-few windows that actually hit.  The reference's per-kmer hash probe
-(``newkmer_10nx.cpp:204-233``) becomes:
+Motivation (measured on the target chip): XLA random gathers are
+*transaction-bound* — cost scales with gather COUNT, not bytes, and gathers
+into tables under ~2 MB run ~4x faster than into the multi-hundred-MB main
+table (396M vs 94M rows/s).  The reference's per-kmer hash probe
+(``newkmer_10nx.cpp:204-233``) therefore becomes:
 
-1. **Fingerprint stage** (every window): two 16-byte row-gathers into
-   ``fptab`` — a 2-choice cuckoo table of 8 x u16 fingerprints per bucket.
-   A window is a *candidate* iff its fingerprint matches a slot in either
-   bucket.  Build-time invariant: no bucket holds two equal fingerprints, so
-   a bucket yields at most one candidate slot and a present key is found in
-   exactly one of its two buckets.
-2. **Verify stage** (candidates only, compacted to <= max_hits per read):
+1. **L1 fingerprint stage** (every window): ONE 16-byte row-gather into
+   ``fptab`` — a single-choice bucket table of 8 x u16 fingerprints, sized
+   for load <= 0.35 so almost every key fits its one bucket.  A round-1
+   design used a 2-choice cuckoo here (two gathers/window); halving the
+   big-table transactions is worth the extra slots (16 B/slot).
+2. **L2 fingerprint stage** (every window, cheap): two row-gathers into
+   ``fptab2`` — a small 2-choice cuckoo holding the ~0.3% of keys whose L1
+   bucket ran out of slots (or fingerprint-collided there).  fptab2 stays in
+   the fast small-table gather zone by construction.
+3. **Verify stage** (candidates only, compacted to <= max_hits per read):
    one 16-byte row-gather into ``rec`` fetches the slot's full 60-bit key
    (exactness: fingerprints only pre-filter; the key compare decides) plus a
    taxonomy payload — ``tin``/``tout`` DFS interval labels and ``depth`` of
    the probe's target (core/taxonomy.py) — so the per-read MSCA consistency
    fold needs **zero** additional gathers.
 
-False fingerprint matches (~8 * 2^-16 per miss window) cost one wasted verify
-row and are rejected exactly.  Misses never touch ``rec``.
+Build-time invariants: no bucket (either level) holds two equal
+fingerprints, so a bucket yields at most one candidate slot and a present
+key is found in exactly one of its three probe buckets.  False fingerprint
+matches (~24 * 2^-16 per miss window) cost one wasted verify row and are
+rejected exactly.  Misses never touch ``rec``.
 
-Slot id = bucket * 8 + slot is the engine's per-probe identity: the host keeps
-``slot_target`` / ``slot_idx`` (sorted-order index) maps for final-call
-resolution, the per-sample unique-k-mer ``seen`` set, and interop with the
-sorted-array layout used by the sharded/verify paths.
+Slot id = bucket * 8 + slot (L2 offset by ``nb1 * 8``) is the engine's
+per-probe identity: the host keeps ``slot_target`` / ``slot_idx``
+(sorted-order index) maps for final-call resolution, the per-sample
+unique-k-mer ``seen`` set, and interop with the sorted-array layout used by
+the sharded/verify paths.
 """
 
 from __future__ import annotations
@@ -36,13 +43,12 @@ import numpy as np
 
 SLOTS = 8
 EMPTY_HI = np.uint32(0xFFFFFFFF)  # real key hi < 2^28
-# Bucket-count target: nb is snapped to a power of two, so the worst-case
-# realized load equals this value.  0.96 (near the 2-choice x 8-slot cuckoo
-# threshold ~0.977) forces the Python random-walk eviction loop to place the
-# last few percent — measured 800+ s on an 8M-key build.  At <= 0.85 the
-# vectorized greedy rounds place everything and build time is sort-bound
-# (seconds), at the cost of at most ~13% more slots (16 B each).
-MAX_LOAD = 0.85
+# L1 bucket-count target: nb1 is snapped to a power of two, so the realized
+# load is in (MAX_LOAD_L1/2, MAX_LOAD_L1].  At 0.35 the single-choice
+# overflow fraction stays ~0.3% (Poisson tail past 8 slots + per-bucket
+# fingerprint duplicates), keeping fptab2 in the fast gather zone.
+MAX_LOAD_L1 = 0.35
+MAX_LOAD_L2 = 0.5
 
 
 def _mix32(a: np.ndarray, b: np.ndarray, s1: int, s2: int) -> np.ndarray:
@@ -57,7 +63,9 @@ def _mix32(a: np.ndarray, b: np.ndarray, s1: int, s2: int) -> np.ndarray:
 
 def fp_hashes(hi: np.ndarray, lo: np.ndarray, nb: int, s1: int, s2: int, s3: int):
     """(bucket1, bucket2, fingerprint) for key words — numpy mirror of the
-    device hash in ops/lookup.fp_lookup (kept bit-identical by tests)."""
+    device hash in ops/lookup.fp_hashes_jnp (kept bit-identical by tests).
+    L1 uses bucket1 only; L2 uses both with its own salts (fingerprint is
+    shared across levels: the device computes it once per window)."""
     hi = np.asarray(hi, dtype=np.uint32)
     lo = np.asarray(lo, dtype=np.uint32)
     mask = np.uint32(nb - 1)
@@ -69,28 +77,42 @@ def fp_hashes(hi: np.ndarray, lo: np.ndarray, nb: int, s1: int, s2: int, s3: int
     return b1.astype(np.int64), b2.astype(np.int64), fp
 
 
+def _pack_fptab(slot_fp: np.ndarray, nb: int) -> np.ndarray:
+    """u16 fp per slot -> [nb, 4] u32 rows; slot s of bucket b lives at word
+    (s & 3), u16 half (s >> 2), so the device's match index (half*4 + word)
+    equals s and cand = bucket*8 + s = slot id."""
+    t = slot_fp.reshape(nb, 2, 4)
+    return t[:, 0, :].astype(np.uint32) | (
+        t[:, 1, :].astype(np.uint32) << np.uint32(16)
+    )
+
+
 @dataclass
 class FpDB:
     """Device-ready fingerprint layout + host-side slot maps."""
 
-    fptab: np.ndarray  # uint32 [nb, 4] — 8 u16 fps; slot s at word s&3, half s>>2
-    rec: np.ndarray  # uint32 [nb*8, 4] — (key_hi, key_lo, tin, tout | depth<<24)
-    nb: int
-    s1: int
+    fptab: np.ndarray  # uint32 [nb1, 4] — L1: 8 u16 fps per bucket
+    fptab2: np.ndarray  # uint32 [nb2, 4] — L2 overflow cuckoo
+    rec: np.ndarray  # uint32 [(nb1+nb2)*8, 4] — (key_hi, key_lo, tin, tout|depth<<24)
+    nb: int  # L1 buckets
+    nb2: int  # L2 buckets
+    s1: int  # L1 bucket salt
     s2: int
-    s3: int
-    slot_target: np.ndarray  # int32 [nb*8]; 0 for empty slots
-    slot_idx: np.ndarray  # int32 [nb*8]; index into the sorted packed arrays, -1 empty
+    s3: int  # fingerprint salt (shared by both levels)
+    s4: int  # L2 bucket salts
+    s5: int
+    slot_target: np.ndarray  # int32 [(nb1+nb2)*8]; 0 for empty slots
+    slot_idx: np.ndarray  # int32 [(nb1+nb2)*8]; index into the sorted packed arrays, -1 empty
 
     @property
     def n_slots(self) -> int:
-        return self.nb * SLOTS
+        return (self.nb + self.nb2) * SLOTS
 
     def device_arrays(self) -> dict:
-        return {"fptab": self.fptab, "rec": self.rec}
+        return {"fptab": self.fptab, "fptab2": self.fptab2, "rec": self.rec}
 
 
-def build_fpdb(packed, taxonomy, load: float = MAX_LOAD) -> FpDB:
+def build_fpdb(packed, taxonomy, load: float = MAX_LOAD_L1) -> FpDB:
     """Build from a PackedDB (sorted unique keys) + Taxonomy.
 
     Probes with target <= 0 are excluded: in the reference a cell with value 0
@@ -105,46 +127,86 @@ def build_fpdb(packed, taxonomy, load: float = MAX_LOAD) -> FpDB:
     nt = taxonomy.num_nodes
     if nt > (1 << 24) or taxonomy.max_depth > 254:
         raise ValueError("taxonomy too large for fp payload packing")
-    nb = 1 << max(4, int(np.ceil(np.log2(max(n, 1) / (SLOTS * load)))))
-    while True:
-        for attempt in range(6):
-            s1 = 0x9E3779B1 + attempt * 7919
-            s2 = 0x85EBCA6B + attempt * 104729
-            s3 = 0xC2B2AE35 + attempt * 65537
-            slot_of = _place(hi, lo, nb, s1, s2, s3)
-            if slot_of is not None:
-                fptab = np.zeros(nb * SLOTS, dtype=np.uint16)
-                _, _, fp = fp_hashes(hi, lo, nb, s1, s2, s3)
-                # slot s of bucket b lives at word (s & 3), u16 half (s >> 2):
-                # flat u16 index b*8 + s, so the device's match index
-                # (half*4 + word) equals s and cand = bucket*8 + s = slot id.
-                fptab[slot_of] = fp
-                fptab = fptab.reshape(nb, 2, 4)  # [bucket, half, word]
-                fptab32 = (
-                    fptab[:, 0, :].astype(np.uint32)
-                    | (fptab[:, 1, :].astype(np.uint32) << np.uint32(16))
-                )
-                rec = np.zeros((nb * SLOTS, 4), dtype=np.uint32)
-                rec[:, 0] = EMPTY_HI
-                tgt_clip = np.clip(target, 0, nt - 1)
-                rec[slot_of, 0] = hi
-                rec[slot_of, 1] = lo
-                rec[slot_of, 2] = taxonomy.tin[tgt_clip].astype(np.uint32)
-                rec[slot_of, 3] = taxonomy.tout[tgt_clip].astype(np.uint32) | (
-                    taxonomy.depth[tgt_clip].astype(np.uint32) << np.uint32(24)
-                )
-                slot_target = np.zeros(nb * SLOTS, dtype=np.int32)
-                slot_target[slot_of] = target
-                slot_idx = np.full(nb * SLOTS, -1, dtype=np.int32)
-                slot_idx[slot_of] = live
-                return FpDB(
-                    fptab=fptab32, rec=rec, nb=nb, s1=s1, s2=s2, s3=s3,
-                    slot_target=slot_target, slot_idx=slot_idx,
-                )
-        nb *= 2
+    nb1 = 1 << max(4, int(np.ceil(np.log2(max(n, 1) / (SLOTS * load)))))
+    for attempt in range(6):
+        s1 = 0x9E3779B1 + attempt * 7919
+        s2 = 0x85EBCA6B + attempt * 104729
+        s3 = 0xC2B2AE35 + attempt * 65537
+        s4 = 0x27D4EB2F + attempt * 31337
+        s5 = 0x165667B1 + attempt * 49999
+
+        b1, _, fp16 = fp_hashes(hi, lo, nb1, s1, s2, s3)
+        fp = fp16.astype(np.int64)
+        # L1 single-choice: within each bucket keep up to 8 keys with
+        # distinct fingerprints (first by (bucket, fp) sort order)
+        order = np.argsort(b1 * 65536 + fp, kind="stable")
+        bs = b1[order]
+        fs = fp[order]
+        first_bf = np.ones(len(order), dtype=bool)
+        first_bf[1:] = (bs[1:] != bs[:-1]) | (fs[1:] != fs[:-1])
+        cand = order[first_bf]
+        bsel = b1[cand]
+        fb = np.ones(len(cand), dtype=bool)
+        fb[1:] = bsel[1:] != bsel[:-1]
+        starts = np.where(fb, np.arange(len(cand)), 0)
+        np.maximum.accumulate(starts, out=starts)
+        rank = np.arange(len(cand)) - starts
+        fits = rank < SLOTS
+        placed = cand[fits]
+        slot_of1 = bsel[fits] * SLOTS + rank[fits]
+        inl1 = np.zeros(n, dtype=bool)
+        inl1[placed] = True
+        over = np.nonzero(~inl1)[0]
+
+        # L2: 2-choice cuckoo over the overflow, same fingerprints
+        nb2 = 1 << max(
+            10, int(np.ceil(np.log2(max(len(over), 1) / (SLOTS * MAX_LOAD_L2))))
+        )
+        slot_of2 = None
+        while nb2 <= max(nb1, 1 << 14):
+            slot_of2 = _place(
+                hi[over], lo[over], nb2, s4, s5, s3, fp_in=fp[over]
+            )
+            if slot_of2 is not None:
+                break
+            nb2 *= 2
+        if slot_of2 is None:
+            continue  # re-salt everything
+
+        slot_fp1 = np.zeros(nb1 * SLOTS, dtype=np.uint16)
+        slot_fp1[slot_of1] = fp16[placed]
+        slot_fp2 = np.zeros(nb2 * SLOTS, dtype=np.uint16)
+        slot_fp2[slot_of2] = fp16[over]
+
+        slot_of = np.empty(n, dtype=np.int64)
+        slot_of[placed] = slot_of1
+        slot_of[over] = nb1 * SLOTS + slot_of2
+
+        nslots = (nb1 + nb2) * SLOTS
+        rec = np.zeros((nslots, 4), dtype=np.uint32)
+        rec[:, 0] = EMPTY_HI
+        tgt_clip = np.clip(target, 0, nt - 1)
+        rec[slot_of, 0] = hi
+        rec[slot_of, 1] = lo
+        rec[slot_of, 2] = taxonomy.tin[tgt_clip].astype(np.uint32)
+        rec[slot_of, 3] = taxonomy.tout[tgt_clip].astype(np.uint32) | (
+            taxonomy.depth[tgt_clip].astype(np.uint32) << np.uint32(24)
+        )
+        slot_target = np.zeros(nslots, dtype=np.int32)
+        slot_target[slot_of] = target
+        slot_idx = np.full(nslots, -1, dtype=np.int32)
+        slot_idx[slot_of] = live
+        return FpDB(
+            fptab=_pack_fptab(slot_fp1, nb1),
+            fptab2=_pack_fptab(slot_fp2, nb2),
+            rec=rec, nb=nb1, nb2=nb2,
+            s1=s1, s2=s2, s3=s3, s4=s4, s5=s5,
+            slot_target=slot_target, slot_idx=slot_idx,
+        )
+    raise RuntimeError("fpdb build failed to converge after 6 salt attempts")
 
 
-def _place(hi, lo, nb, s1, s2, s3, max_evict_rounds: int = 3000):
+def _place(hi, lo, nb, s1, s2, s3, fp_in=None, max_evict_rounds: int = 3000):
     """Assign each key a slot honoring capacity + per-bucket fp uniqueness.
 
     Two fully-vectorized phases (build time on multi-10M-key DBs is
@@ -152,17 +214,21 @@ def _place(hi, lo, nb, s1, s2, s3, max_evict_rounds: int = 3000):
 
     1. *Greedy rounds*: every unplaced key tries the emptier of its two
        buckets; placement is capacity-ranked per bucket and deferred on
-       fingerprint conflicts.  Converges to ~3% stragglers at load 0.85.
+       fingerprint conflicts.
     2. *Parallel random-walk eviction*: all stragglers hop at once each
        round — pick a random side, displace a same-fingerprint resident if
        present (which simultaneously restores fp uniqueness), else take an
        empty slot, else kick a random resident (who rejoins the walk).
        Same-slot / same-(bucket, fp) write races are resolved by keeping one
        winner per round; losers retry next round.
+
+    ``fp_in``: fingerprint per key (int64, 0 reserved); defaults to the
+    fp_hashes fingerprint of (nb, s1, s2, s3) — the two-level build passes
+    the L1 fingerprints so the device can compute one fp per window.
     """
     n = len(hi)
     b1, b2, fp = fp_hashes(hi, lo, nb, s1, s2, s3)
-    fp = fp.astype(np.int64)
+    fp = fp.astype(np.int64) if fp_in is None else np.asarray(fp_in, dtype=np.int64)
     occ = np.zeros(nb, dtype=np.int64)
     slot_fp = np.zeros(nb * SLOTS, dtype=np.int64)  # 0 = empty
     slot_key = np.full(nb * SLOTS, -1, dtype=np.int64)
@@ -256,11 +322,19 @@ def save_fpdb(db: FpDB, out_dir) -> None:
 
     os.makedirs(out_dir, exist_ok=True)
     np.save(os.path.join(out_dir, "fptab.npy"), db.fptab)
+    np.save(os.path.join(out_dir, "fptab2.npy"), db.fptab2)
     np.save(os.path.join(out_dir, "rec.npy"), db.rec)
     np.save(os.path.join(out_dir, "slot_target.npy"), db.slot_target)
     np.save(os.path.join(out_dir, "slot_idx.npy"), db.slot_idx)
     with open(os.path.join(out_dir, "fp_manifest.json"), "w") as f:
-        json.dump({"nb": db.nb, "s1": db.s1, "s2": db.s2, "s3": db.s3}, f)
+        json.dump(
+            {
+                "version": 2, "nb": db.nb, "nb2": db.nb2,
+                "s1": db.s1, "s2": db.s2, "s3": db.s3,
+                "s4": db.s4, "s5": db.s5,
+            },
+            f,
+        )
 
 
 def load_fpdb(in_dir, mmap: bool = True) -> FpDB | None:
@@ -272,35 +346,49 @@ def load_fpdb(in_dir, mmap: bool = True) -> FpDB | None:
         return None
     with open(mpath) as f:
         m = json.load(f)
+    if m.get("version") != 2:
+        return None  # stale single-level cache: rebuild
     mode = "r" if mmap else None
 
     def arr(name):
         return np.load(os.path.join(in_dir, f"{name}.npy"), mmap_mode=mode)
 
     return FpDB(
-        fptab=arr("fptab"), rec=arr("rec"), nb=int(m["nb"]),
+        fptab=arr("fptab"), fptab2=arr("fptab2"), rec=arr("rec"),
+        nb=int(m["nb"]), nb2=int(m["nb2"]),
         s1=int(m["s1"]), s2=int(m["s2"]), s3=int(m["s3"]),
+        s4=int(m["s4"]), s5=int(m["s5"]),
         slot_target=np.asarray(arr("slot_target")),
         slot_idx=np.asarray(arr("slot_idx")),
     )
 
 
-def verify_fpdb(db: FpDB, hi: np.ndarray, lo: np.ndarray) -> None:
-    """Invariant check (used by tests): every key resolves through the same
-    two-bucket fingerprint probe the device performs, uniquely."""
-    b1, b2, fp = fp_hashes(hi, lo, db.nb, db.s1, db.s2, db.s3)
-    fps = np.stack(
+def _fps_of(fptab32: np.ndarray) -> np.ndarray:
+    """[nb, 4] u32 -> [nb, 8] int64 fps in device slot order (half*4+word)."""
+    return np.stack(
         [
-            (db.fptab >> np.uint32(16 * half))[:, w] & np.uint32(0xFFFF)
+            (fptab32 >> np.uint32(16 * half))[:, w] & np.uint32(0xFFFF)
             for half in (0, 1)
             for w in range(4)
         ],
         axis=1,
-    ).astype(np.int64)  # [nb, 8] in device slot order (half * 4 + word)
-    m1 = fps[b1] == fp[:, None].astype(np.int64)
-    m2 = fps[b2] == fp[:, None].astype(np.int64)
-    assert ((m1.sum(1) + m2.sum(1) * (b1 != b2)) >= 1).all(), "key lost"
-    # per-bucket uniqueness
-    srt = np.sort(fps, axis=1)
-    dup = (srt[:, 1:] == srt[:, :-1]) & (srt[:, 1:] != 0)
-    assert not dup.any(), "duplicate fingerprint in a bucket"
+    ).astype(np.int64)
+
+
+def verify_fpdb(db: FpDB, hi: np.ndarray, lo: np.ndarray) -> None:
+    """Invariant check (used by tests): every key resolves through the same
+    three-bucket fingerprint probe the device performs, uniquely."""
+    b1, _, fp16 = fp_hashes(hi, lo, db.nb, db.s1, db.s2, db.s3)
+    c1, c2, _ = fp_hashes(hi, lo, db.nb2, db.s4, db.s5, db.s3)
+    fp = fp16[:, None].astype(np.int64)
+    f1 = _fps_of(db.fptab)
+    f2 = _fps_of(db.fptab2)
+    m1 = (f1[b1] == fp).sum(1)
+    m2 = (f2[c1] == fp).sum(1)
+    m3 = (f2[c2] == fp).sum(1) * (c1 != c2)
+    assert ((m1 + m2 + m3) >= 1).all(), "key lost"
+    # per-bucket fp uniqueness, both levels
+    for f in (f1, f2):
+        srt = np.sort(f, axis=1)
+        dup = (srt[:, 1:] == srt[:, :-1]) & (srt[:, 1:] != 0)
+        assert not dup.any(), "duplicate fingerprint in a bucket"

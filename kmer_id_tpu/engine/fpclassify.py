@@ -82,13 +82,11 @@ def _compact_verify(db, ex, max_hits: int):
     hi, lo, valid = ex["hi"], ex["lo"], ex["valid"]
     b, p = hi.shape
     rec = db["rec"]
-    cand1, c1v, cand2, c2v = fp_candidates(db, hi, lo, valid)
+    planes = fp_candidates(db, hi, lo, valid)
     pos = jax.lax.broadcasted_iota(jnp.int32, (b, p), 1)
     sent = jnp.int32(np.int32(2**31 - 1))
-    k1 = jnp.where(c1v, pos, sent)
-    k2 = jnp.where(c2v, pos, sent)
-    keys = jnp.concatenate([k1, k2], axis=1)
-    payload = jnp.concatenate([cand1, cand2], axis=1)
+    keys = jnp.concatenate([jnp.where(v, pos, sent) for _, v in planes], axis=1)
+    payload = jnp.concatenate([c for c, _ in planes], axis=1)
     pos32, cand32 = jax.lax.sort(
         (keys, payload), dimension=1, num_keys=1, is_stable=True
     )
@@ -110,7 +108,7 @@ def _compact_verify(db, ex, max_hits: int):
     dtin = jnp.take_along_axis(tin, j[:, None], axis=1)[:, 0]
     ok = ~ver | ((tin <= dtin[:, None]) & (dtin[:, None] <= tout))
     consistent = jnp.all(ok, axis=1)
-    ncand = c1v.sum(axis=1) + c2v.sum(axis=1)
+    ncand = sum(v.sum(axis=1) for _, v in planes)
     overflow = ncand > max_hits
     return {
         "cand": cand32, "ver": ver, "nh": nh, "deepest": deepest,
@@ -143,16 +141,16 @@ def fp_slots(db, ex):
     fallback for candidate-overflow reads and the long-read chunk path."""
     hi, lo, valid = ex["hi"], ex["lo"], ex["valid"]
     rec = db["rec"]
-    nslots = rec.shape[0]
-    cand1, c1v, cand2, c2v = fp_candidates(db, hi, lo, valid)
+    planes = fp_candidates(db, hi, lo, valid)
 
     def verify(cand, cv):
         rows = jnp.take(rec, cand.reshape(-1), axis=0).reshape(*cand.shape, 4)
         return cv & (rows[..., 0] == hi) & (rows[..., 1] == lo)
 
-    v1 = verify(cand1, c1v)
-    v2 = verify(cand2, c2v)
-    return jnp.where(v1, cand1, jnp.where(v2, cand2, -1))
+    out = jnp.full_like(hi, -1, dtype=jnp.int32)
+    for cand, cv in planes:  # at most one plane verifies per window
+        out = jnp.where(verify(cand, cv), cand, out)
+    return out
 
 
 def fp_finals(db, ex, seen, max_hits: int):
@@ -287,10 +285,13 @@ class FpClassifier:
         self.n_probes = len(db)
         self._db = {
             "fptab": jnp.asarray(f.fptab),
+            "fptab2": jnp.asarray(f.fptab2),
             "rec": jnp.asarray(f.rec),
             "fp_s1": jnp.uint32(f.s1),
             "fp_s2": jnp.uint32(f.s2),
             "fp_s3": jnp.uint32(f.s3),
+            "fp_s4": jnp.uint32(f.s4),
+            "fp_s5": jnp.uint32(f.s5),
             "slot_target": jnp.asarray(f.slot_target),
             "anc": jnp.asarray(taxonomy.anc),
             "chain3": jnp.asarray(taxonomy.chain_tables()[0]),

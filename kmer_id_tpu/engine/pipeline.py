@@ -158,6 +158,12 @@ class SampleProcessor:
         self.gcount = np.zeros(clf.num_targ, dtype=np.int64)
         self.reads = 0
         self.seen = clf.new_seen()
+        # Separate unique-k-mer accumulator for the collector thread: the
+        # main thread donates ``seen`` through the submit chain while the
+        # worker scatters overflow/long-read hits into ``seen_ovr`` — the
+        # two buffer-donation chains never cross threads.  ``seen`` is a set
+        # union, so a max-merge at finalize is exact.
+        self.seen_ovr = clf.new_seen()
         self.batcher = ReadBatcher(clf.batch_size, clf.max_len, u_is_t=cfg.u_is_t)
         # verify mode replays reads sequentially host-side and needs the
         # full-read trim metadata only the Python batcher carries
@@ -170,11 +176,17 @@ class SampleProcessor:
             else None
         )
         from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
 
         from kmer_id_tpu.utils.timing import StageTimers
 
-        self._inflight = deque()
+        self._inflight = deque()  # futures of the collector thread, FIFO
         self.pipeline_depth = 4  # batches in flight hides dispatch latency
+        # One collector thread overlaps the per-batch device fetch (~35 ms
+        # tunnel roundtrip — the single largest host-side cost) with the
+        # main thread's decode+pack+submit.  Exactly one worker keeps the
+        # read-order accounting sequential.
+        self._collector = ThreadPoolExecutor(max_workers=1)
         self.timers = StageTimers()
         self._t_start = __import__("time").monotonic()
         self._verify = None
@@ -191,6 +203,7 @@ class SampleProcessor:
             }
 
     def feed(self, records: Iterable) -> None:
+        self._barrier()  # keep account order exact if paths are mixed
         for acc, seq, qual in records:
             for item in self.batcher.add(acc, seq, qual):
                 self._consume(item)
@@ -220,15 +233,17 @@ class SampleProcessor:
         if self._feeder is not None:
             for nb in self._feeder.flush():
                 self._consume_native(nb)
-        while self._inflight:
-            self._drain_one()
+        self._barrier()
         for item in self.batcher.flush():
             self._consume(item)
+        self._collector.shutdown(wait=True)
         if self._verify is not None:
             ucount = self._verify["ucount"]
         else:
             with self.timers.stage("finalize"):
-                ucount = self.clf.ucount(self.seen)
+                import jax.numpy as jnp
+
+                ucount = self.clf.ucount(jnp.maximum(self.seen, self.seen_ovr))
         import time as _time
 
         wall = _time.monotonic() - self._t_start
@@ -267,13 +282,17 @@ class SampleProcessor:
         for r in nb.long_rows:
             batch.lengths[r] = 0  # placeholder row: handled via long path below
         self.seen, pending = self.clf.submit_batch(self.seen, batch)
-        self._inflight.append((pending, nb))
+        self._inflight.append(self._collector.submit(self._drain_job, pending, nb))
         while len(self._inflight) > self.pipeline_depth:
-            self._drain_one()
+            self._inflight.popleft().result()
 
-    def _drain_one(self) -> None:
-        pending, nb = self._inflight.popleft()
-        self.seen, finals = self.clf.collect(self.seen, pending)
+    def _barrier(self) -> None:
+        """Wait for every queued collector job (order/exception barrier)."""
+        while self._inflight:
+            self._inflight.popleft().result()
+
+    def _drain_job(self, pending, nb) -> None:
+        self.seen_ovr, finals = self.clf.collect(self.seen_ovr, pending)
         batch = nb.batch
         metas = batch.metas
         if not nb.long_rows:
@@ -288,13 +307,13 @@ class SampleProcessor:
             for i in nb.long_rows
         ]
         if hasattr(self.clf, "process_long_many"):
-            self.seen, long_finals = self.clf.process_long_many(
-                self.seen, long_items
+            self.seen_ovr, long_finals = self.clf.process_long_many(
+                self.seen_ovr, long_items
             )
         else:
             long_finals = []
             for item in long_items:
-                self.seen, f = self.clf.process_long(self.seen, item)
+                self.seen_ovr, f = self.clf.process_long(self.seen_ovr, item)
                 long_finals.append(f)
         long_map = dict(zip(nb.long_rows, long_finals))
         for i in range(batch.n_rows):

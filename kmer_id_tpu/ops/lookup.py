@@ -137,25 +137,34 @@ def _fp_bucket_match(row, fp):
 
 
 def fp_candidates(db, q_hi, q_lo, valid):
-    """Fingerprint stage: per-window candidate slot ids.
+    """Two-level fingerprint stage: per-window candidate slot ids.
 
-    Returns (cand1, c1v, cand2, c2v): candidate slot id (bucket*8+slot) and
-    validity per choice.  c2v excludes b2 == b1 (the match would be the same
-    slot twice).  A present key produces its true slot in exactly one choice;
-    false candidates (~8/2^16 per miss window) are killed by the verify stage.
+    ONE transaction-bound gather into the big L1 table (single-choice) plus
+    two cheap gathers into the small L2 overflow cuckoo (db/fpdb.py module
+    doc).  Returns a list of (cand, valid) planes — candidate slot id
+    (bucket*8+slot; L2 offset by nb1*8) and validity per choice.  The last
+    plane excludes c2 == c1 (the match would be the same slot twice).  A
+    present key produces its true slot in exactly one choice; false
+    candidates (~24/2^16 per miss window) are killed by the verify stage.
     """
     fptab = db["fptab"]
-    nb = fptab.shape[0]
-    b1, b2, fp = fp_hashes_jnp(q_hi, q_lo, nb, db["fp_s1"], db["fp_s2"], db["fp_s3"])
+    fptab2 = db["fptab2"]
+    nb1 = fptab.shape[0]
+    nb2 = fptab2.shape[0]
+    b1, _, fp = fp_hashes_jnp(q_hi, q_lo, nb1, db["fp_s1"], db["fp_s2"], db["fp_s3"])
+    c1, c2, _ = fp_hashes_jnp(q_hi, q_lo, nb2, db["fp_s4"], db["fp_s5"], db["fp_s3"])
     r1 = jnp.take(fptab, b1, axis=0)
-    r2 = jnp.take(fptab, b2, axis=0)
+    r2 = jnp.take(fptab2, c1, axis=0)
+    r3 = jnp.take(fptab2, c2, axis=0)
     m1, s1 = _fp_bucket_match(r1, fp)
     m2, s2 = _fp_bucket_match(r2, fp)
-    cand1 = b1 * 8 + s1
-    cand2 = b2 * 8 + s2
-    c1v = m1 & valid
-    c2v = m2 & valid & (b2 != b1)
-    return cand1, c1v, cand2, c2v
+    m3, s3 = _fp_bucket_match(r3, fp)
+    off = jnp.int32(nb1 * 8)
+    return [
+        (b1 * 8 + s1, m1 & valid),
+        (off + c1 * 8 + s2, m2 & valid),
+        (off + c2 * 8 + s3, m3 & valid & (c2 != c1)),
+    ]
 
 
 def _mix32_jnp(a, b, s1, s2):

@@ -56,8 +56,9 @@ def test_fpdb_invariants_and_roundtrip(tmp_path, world):
     save_fpdb(fp, tmp_path)
     fp2 = load_fpdb(tmp_path)
     assert (np.asarray(fp2.fptab) == fp.fptab).all()
+    assert (np.asarray(fp2.fptab2) == fp.fptab2).all()
     assert (np.asarray(fp2.rec) == fp.rec).all()
-    assert fp2.nb == fp.nb and fp2.s3 == fp.s3
+    assert fp2.nb == fp.nb and fp2.nb2 == fp.nb2 and fp2.s3 == fp.s3
 
 
 def test_pack_codes_roundtrip():
