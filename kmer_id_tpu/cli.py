@@ -30,16 +30,35 @@ def _add_mesh_args(p):
     p.add_argument("--batch-size", type=int, default=2048)
     p.add_argument("--max-len", type=int, default=512)
     p.add_argument("--cache-dir", default=None, help="packed-DB artifact cache dir")
+    p.add_argument("--engine", choices=("fp", "legacy"), default="fp",
+                   help="fp = fingerprint engine (production); legacy = sorted-array")
+    # multi-host (jax.distributed) wiring: run one process per host with the
+    # same command; the mesh then spans every host's devices
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 (multi-host runs)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
 
 
 def _make_classifier(db, cfg, args):
+    if getattr(args, "num_processes", None):
+        from kmer_id_tpu.parallel.distributed import initialize
+
+        initialize(args.coordinator, args.num_processes, args.process_id)
     if args.mesh_data * args.mesh_db > 1:
-        from kmer_id_tpu.parallel import ShardedClassifier, make_mesh
+        from kmer_id_tpu.parallel import (
+            ShardedClassifier,
+            ShardedFpClassifier,
+            make_mesh,
+        )
 
         mesh = make_mesh(data=args.mesh_data, db=args.mesh_db)
-        return ShardedClassifier(
-            db.packed, db.taxonomy, mesh, cfg.batch_size, cfg.max_len
+        cls = (
+            ShardedFpClassifier
+            if getattr(args, "engine", "fp") == "fp"
+            else ShardedClassifier
         )
+        return cls(db.packed, db.taxonomy, mesh, cfg.batch_size, cfg.max_len)
     from kmer_id_tpu.engine.pipeline import make_classifier
 
     return make_classifier(db, cfg, cache_dir=getattr(args, "cache_dir", None))

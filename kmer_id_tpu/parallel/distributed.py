@@ -66,7 +66,23 @@ class SampleQueue:
         self.path = manifest_path
         self.samples = samples
         if not os.path.exists(manifest_path):
-            self._write({"pending": samples, "done": [], "claimed": {}})
+            # take the lock: concurrent workers may race to create the
+            # manifest (observed as a vanished .tmp under os.replace)
+            lock = self.path + ".lock"
+            for _ in range(100):
+                try:
+                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    break
+                except FileExistsError:
+                    time.sleep(0.05)
+            else:
+                raise TimeoutError("manifest lock")
+            try:
+                if not os.path.exists(manifest_path):
+                    self._write({"pending": samples, "done": [], "claimed": {}})
+            finally:
+                os.close(fd)
+                os.unlink(lock)
 
     def _read(self) -> dict:
         with open(self.path) as f:

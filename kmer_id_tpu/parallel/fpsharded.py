@@ -1,0 +1,350 @@
+"""Sharded fingerprint classification: data-parallel reads × bucket-range-
+sharded fingerprint DB — the production multi-chip engine.
+
+SPMD design (shard_map over a (data, db) mesh), carrying the single-chip
+fingerprint layout (db/fpdb.py) onto the mesh:
+
+* **L1 table sharded by bucket range**: db shard k owns buckets
+  [k*nb1/K, (k+1)*nb1/K) of the single-choice table plus that range's
+  ``rec``/``slot_target`` rows — a window's L1 bucket lives on exactly one
+  shard, so candidate ownership is a partition.  Smaller per-shard tables
+  also gather FASTER (XLA gather rate rises as tables shrink; PERF.md), so
+  db-sharding buys memory capacity without slowing the probe.
+* **L2 overflow cuckoo replicated, probed by db rank 0 only** (it is
+  ~0.3% of keys and KBs in size; single ownership keeps hits and the
+  unique-k-mer scatter exactly-once).
+* **Merge = ONE all_gather of compact per-read hit planes** over ``db``:
+  each shard verifies its own candidates locally (exact 60-bit key compare
+  against its rec rows) and emits [rows, max_hits] hits as (window pos,
+  target, tin, tout|depth<<24); gathering K such planes and re-sorting by
+  position reconstructs the read's global hit sequence.  This replaces the
+  round-1 [rows, P] int32 target-plane psum — ~2 MB vs ~4.3 MB per merge,
+  independent of read length.
+* The consistency check / deepest-hit fast path / chain-interval msca fold
+  then run identically on every db member from the gathered payloads (zero
+  taxonomy gathers), keeping finals replicated across ``db``.
+* ``seen`` stays shard-local (slot ids are local), so unique-k-mer
+  accounting needs no hot-path communication.
+
+Exactness: gcount/ucount and per-read finals are bit-identical to the
+single-device fingerprint engine (tests/test_sharding.py, virtual CPU
+mesh).  Candidate-overflow reads (locally or post-merge > max_hits) are
+flagged and replayed through an exact per-window target-plane pass, exactly
+like the single-chip engine's fallback.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from kmer_id_tpu.core.codec import KSIZE
+from kmer_id_tpu.core.taxonomy import Taxonomy
+from kmer_id_tpu.db.fpdb import FpDB, SLOTS, build_fpdb
+from kmer_id_tpu.db.probes import PackedDB
+from kmer_id_tpu.engine.classify import fold_host
+from kmer_id_tpu.io.batch import Batch, LongRead
+from kmer_id_tpu.ops.extract import extract_kmers
+from kmer_id_tpu.ops.fold import fold_targets_interval
+from kmer_id_tpu.ops.lookup import _fp_bucket_match, fp_hashes_jnp
+
+
+@dataclass
+class _Pending:
+    finals: object
+    batch: Batch
+    n_rows: int
+
+
+class ShardedFpClassifier:
+    """Drop-in for engine.FpClassifier, spread over a (data, db) mesh."""
+
+    def __init__(
+        self,
+        db: PackedDB,
+        taxonomy: Taxonomy,
+        mesh: Mesh,
+        batch_size: int = 1024,
+        max_len: int = 512,
+        max_hits: int = 32,
+        fpdb: FpDB | None = None,
+    ):
+        if len(db) == 0:
+            raise ValueError("cannot classify against an empty probe DB")
+        self.mesh = mesh
+        self.dp = mesh.shape["data"]
+        self.dbp = mesh.shape["db"]
+        if batch_size % self.dp:
+            raise ValueError(f"batch_size {batch_size} not divisible by data={self.dp}")
+        self.batch_size = batch_size
+        self.max_len = max_len
+        self.max_hits = max_hits
+        self.taxonomy = taxonomy
+        self.num_targ = db.num_targ
+        self.packed_db = db
+        f = fpdb if fpdb is not None else build_fpdb(db, taxonomy)
+        self.fpdb = f
+        if f.nb % self.dbp:
+            raise ValueError(f"L1 buckets {f.nb} not divisible by db={self.dbp}")
+        self.nbloc = f.nb // self.dbp
+        self.loc_slots = (self.nbloc + f.nb2) * SLOTS
+
+        # per-shard unified local tables: [dbp, nbloc*8 + nb2*8, ...] — each
+        # db member's block is its L1 range followed by the full L2, so one
+        # rec/slot_target array serves both candidate levels locally
+        recL1 = f.rec[: f.nb * SLOTS].reshape(self.dbp, self.nbloc * SLOTS, 4)
+        recL2 = np.broadcast_to(
+            f.rec[f.nb * SLOTS :][None], (self.dbp, f.nb2 * SLOTS, 4)
+        )
+        rec_loc = np.concatenate([recL1, recL2], axis=1)
+        stL1 = f.slot_target[: f.nb * SLOTS].reshape(self.dbp, self.nbloc * SLOTS)
+        stL2 = np.broadcast_to(
+            f.slot_target[f.nb * SLOTS :][None], (self.dbp, f.nb2 * SLOTS)
+        )
+        st_loc = np.concatenate([stL1, stL2], axis=1)
+        self._st_loc_host = st_loc
+
+        sh_db0 = NamedSharding(mesh, P("db", None, None))
+        sh_db1 = NamedSharding(mesh, P("db", None))
+        rep = NamedSharding(mesh, P())
+        self._fptab = jax.device_put(f.fptab, sh_db1)
+        self._fptab2 = jax.device_put(f.fptab2, rep)
+        self._rec = jax.device_put(rec_loc, sh_db0)
+        self._st = jax.device_put(st_loc, sh_db1)
+        chain3, _ = taxonomy.chain_tables()
+        self._chain3 = jax.device_put(chain3, rep)
+        self._salts = tuple(jnp.uint32(s) for s in (f.s1, f.s2, f.s3, f.s4, f.s5))
+        self._data_sh = NamedSharding(mesh, P("data"))
+        self._seen_sh = NamedSharding(mesh, P("data", "db"))
+
+        nb1, nb2, nbloc, mh = f.nb, f.nb2, self.nbloc, max_hits
+        sent = jnp.int32(2**31 - 1)
+
+        def local_hits(fptab, fptab2, rec, st, codes, lengths, salts):
+            """Per-shard candidate -> verified compact hits (local tables)."""
+            s1, s2, s3, s4, s5 = salts
+            rec = rec[0]  # [dbp, loc, 4] shards to a [1, loc, 4] local block
+            st = st[0]
+            ex = extract_kmers(codes, lengths)
+            hi, lo, valid = ex["hi"], ex["lo"], ex["valid"]
+            rows, p = hi.shape
+            dbi = jax.lax.axis_index("db")
+            b0 = dbi.astype(jnp.int32) * nbloc
+            b1, _, fp = fp_hashes_jnp(hi, lo, nb1, s1, s2, s3)
+            inr = (b1 >= b0) & (b1 < b0 + nbloc)
+            bl = jnp.clip(b1 - b0, 0, nbloc - 1)
+            r1 = jnp.take(fptab, bl, axis=0)
+            m1, i1 = _fp_bucket_match(r1, fp)
+            own2 = dbi == 0
+            c1, c2, _ = fp_hashes_jnp(hi, lo, nb2, s4, s5, s3)
+            r2 = jnp.take(fptab2, c1, axis=0)
+            r3 = jnp.take(fptab2, c2, axis=0)
+            m2, i2 = _fp_bucket_match(r2, fp)
+            m3, i3 = _fp_bucket_match(r3, fp)
+            planes = [
+                (bl * SLOTS + i1, m1 & valid & inr),
+                (nbloc * SLOTS + c1 * SLOTS + i2, m2 & valid & own2),
+                (nbloc * SLOTS + c2 * SLOTS + i3, m3 & valid & own2 & (c2 != c1)),
+            ]
+            pos = jax.lax.broadcasted_iota(jnp.int32, (rows, p), 1)
+            keys = jnp.concatenate([jnp.where(v, pos, sent) for _, v in planes], 1)
+            payload = jnp.concatenate([c for c, _ in planes], 1)
+            posk, cand = jax.lax.sort(
+                (keys, payload), dimension=1, num_keys=1, is_stable=True
+            )
+            posk = posk[:, :mh]
+            cand = cand[:, :mh]
+            has = posk < p
+            pc = jnp.minimum(posk, p - 1)
+            qhi = jnp.take_along_axis(hi, pc, axis=1)
+            qlo = jnp.take_along_axis(lo, pc, axis=1)
+            rrows = jnp.take(rec, cand.reshape(-1), axis=0).reshape(rows, mh, 4)
+            ver = has & (rrows[..., 0] == qhi) & (rrows[..., 1] == qlo)
+            tgt = jnp.where(
+                ver, jnp.take(st, cand.reshape(-1)).reshape(rows, mh), 0
+            )
+            tin = jnp.where(ver, rrows[..., 2].astype(jnp.int32), 0)
+            td = jnp.where(ver, rrows[..., 3].astype(jnp.int32), 0)
+            ncand = sum(v.sum(axis=1) for _, v in planes)
+            lov = ncand > mh
+            posk = jnp.where(ver, posk, sent)  # only true hits travel
+            return posk, cand, tgt, tin, td, ver, lov
+
+        def step_finals(fptab, fptab2, rec, st, chain3, seen, codes, lengths, salts):
+            posk, cand, tgt, tin, td, ver, lov = local_hits(
+                fptab, fptab2, rec, st, codes, lengths, salts
+            )
+            rows = posk.shape[0]
+            # local seen scatter (slot ids are shard-local; exactly-once by
+            # L1-range / L2-rank-0 ownership)
+            sc = jnp.where(ver, cand, 0)
+            sv = jnp.where(ver, jnp.int8(1), jnp.int8(0))
+            seen = seen.at[0, 0, sc.reshape(-1)].max(
+                sv.reshape(-1), mode="promise_in_bounds"
+            )
+            # merge: gather every shard's compact hits, re-sort by window pos
+            gath = jax.lax.all_gather(
+                jnp.stack([posk, tgt, tin, td], axis=-1), "db"
+            )  # [dbp, rows, mh, 4]
+            g = jnp.transpose(gath, (1, 0, 2, 3)).reshape(rows, -1, 4)
+            gp, gt, gtin, gtd = (g[..., 0], g[..., 1], g[..., 2], g[..., 3])
+            gp, gt, gtin, gtd = jax.lax.sort(
+                (gp, gt, gtin, gtd), dimension=1, num_keys=1, is_stable=True
+            )
+            gp = gp[:, :mh]
+            gt = gt[:, :mh]
+            gtin = gtin[:, :mh]
+            gtd = gtd[:, :mh]
+            hit = gp < sent
+            gtd_u = jax.lax.bitcast_convert_type(gtd, jnp.uint32)
+            tout = (gtd_u & jnp.uint32(0xFFFFFF)).astype(jnp.int32)
+            depth = (gtd_u >> 24).astype(jnp.int32)
+            nh = hit.sum(axis=1).astype(jnp.int32)
+            dkey = jnp.where(hit, depth, -1)
+            j = jnp.argmax(dkey, axis=1)
+            dtin = jnp.take_along_axis(gtin, j[:, None], axis=1)[:, 0]
+            dtgt = jnp.take_along_axis(gt, j[:, None], axis=1)[:, 0]
+            ok = ~hit | ((gtin <= dtin[:, None]) & (dtin[:, None] <= tout))
+            consistent = jnp.all(ok, axis=1)
+            merged_total = jax.lax.psum(
+                jnp.where(posk < sent, 1, 0).sum(axis=1), "db"
+            )
+            overflow = jax.lax.psum(lov.astype(jnp.int32), "db") > 0
+            overflow = overflow | (merged_total > mh)
+            t = jnp.where(hit, gt, 0)
+            need_fold = jnp.any(~consistent & (nh > 0))
+            folded = jax.lax.cond(
+                need_fold,
+                lambda: fold_targets_interval(chain3, t),
+                lambda: jnp.zeros((rows,), jnp.int32),
+            )
+            finals = jnp.where(consistent, jnp.where(nh > 0, dtgt, 0), folded)
+            finals = jnp.where(overflow, finals | jnp.int32(1 << 30), finals)
+            return seen, finals
+
+        def step_targets(fptab, fptab2, rec, st, chain3, seen, codes, lengths, salts):
+            """Exact per-window global target plane (replay/long-read path)."""
+            s1, s2, s3, s4, s5 = salts
+            rec = rec[0]
+            st = st[0]
+            ex = extract_kmers(codes, lengths)
+            hi, lo, valid = ex["hi"], ex["lo"], ex["valid"]
+            dbi = jax.lax.axis_index("db")
+            b0 = dbi.astype(jnp.int32) * nbloc
+            b1, _, fp = fp_hashes_jnp(hi, lo, nb1, s1, s2, s3)
+            inr = (b1 >= b0) & (b1 < b0 + nbloc)
+            bl = jnp.clip(b1 - b0, 0, nbloc - 1)
+            own2 = dbi == 0
+            c1, c2, _ = fp_hashes_jnp(hi, lo, nb2, s4, s5, s3)
+            m1, i1 = _fp_bucket_match(jnp.take(fptab, bl, axis=0), fp)
+            m2, i2 = _fp_bucket_match(jnp.take(fptab2, c1, axis=0), fp)
+            m3, i3 = _fp_bucket_match(jnp.take(fptab2, c2, axis=0), fp)
+            planes = [
+                (bl * SLOTS + i1, m1 & valid & inr),
+                (nbloc * SLOTS + c1 * SLOTS + i2, m2 & valid & own2),
+                (nbloc * SLOTS + c2 * SLOTS + i3, m3 & valid & own2 & (c2 != c1)),
+            ]
+            slot = jnp.full_like(hi, -1, dtype=jnp.int32)
+            for cnd, cv in planes:
+                rws = jnp.take(rec, cnd.reshape(-1), axis=0).reshape(*cnd.shape, 4)
+                vr = cv & (rws[..., 0] == hi) & (rws[..., 1] == lo)
+                slot = jnp.where(vr, cnd, slot)
+            sc = jnp.where(slot >= 0, slot, 0)
+            sv = jnp.where(slot >= 0, jnp.int8(1), jnp.int8(0))
+            seen = seen.at[0, 0, sc.reshape(-1)].max(
+                sv.reshape(-1), mode="promise_in_bounds"
+            )
+            tloc = jnp.where(
+                slot >= 0, jnp.take(st, jnp.maximum(slot, 0).reshape(-1)).reshape(slot.shape), 0
+            )
+            return seen, jax.lax.psum(tloc, "db")
+
+        ispec = (
+            P("db", None), P(None, None), P("db", None, None), P("db", None),
+            P(None, None, None),  # chain3
+            P("data", "db", None),  # seen
+            P("data", None), P("data"),  # codes, lengths
+            (P(), P(), P(), P(), P()),  # salts
+        )
+
+        def build(fn, out):
+            f_ = shard_map(
+                fn, mesh=mesh, in_specs=ispec,
+                out_specs=(P("data", "db", None), out), check_vma=False,
+            )
+            return jax.jit(f_, donate_argnums=(5,))
+
+        self._step_finals = build(step_finals, P("data"))
+        self._step_targets = build(step_targets, P("data", None))
+
+    # ------------------------------------------------------------ API
+    def new_seen(self) -> jax.Array:
+        return jax.device_put(
+            jnp.zeros((self.dp, self.dbp, self.loc_slots), jnp.int8), self._seen_sh
+        )
+
+    def _call(self, fn, seen, codes, lengths):
+        codes = jax.device_put(jnp.asarray(codes), self._data_sh)
+        lengths = jax.device_put(jnp.asarray(lengths), self._data_sh)
+        return fn(
+            self._fptab, self._fptab2, self._rec, self._st, self._chain3,
+            seen, codes, lengths, self._salts,
+        )
+
+    def submit_batch(self, seen, batch: Batch):
+        seen, finals = self._call(self._step_finals, seen, batch.codes, batch.lengths)
+        return seen, _Pending(finals, batch, batch.n_rows)
+
+    def collect(self, seen, pending: _Pending):
+        arr = np.asarray(pending.finals)
+        overflow = (arr & (1 << 30)) != 0
+        finals = (arr & ~np.int32(1 << 30)).astype(np.int32)
+        ovr = np.nonzero(overflow)[0]
+        if len(ovr):
+            seen, tgt = self._call(
+                self._step_targets, seen, pending.batch.codes, pending.batch.lengths
+            )
+            tgt = np.asarray(tgt)
+            for r in ovr:
+                finals[r] = fold_host(self.taxonomy, tgt[r][tgt[r] > 0])
+        return seen, finals[: pending.n_rows]
+
+    def process_batch(self, seen, batch: Batch):
+        seen, pending = self.submit_batch(seen, batch)
+        return self.collect(seen, pending)
+
+    def process_long(self, seen, item: LongRead):
+        codes = item.codes
+        tl = len(codes)
+        l = self.max_len
+        step = l - KSIZE + 1
+        w = tl - KSIZE + 1
+        starts = list(range(0, w, step))
+        parts: list[np.ndarray] = []
+        for g in range(0, len(starts), self.batch_size):
+            group = starts[g : g + self.batch_size]
+            plane = np.full((self.batch_size, l), 4, dtype=np.uint8)
+            lengths = np.zeros(self.batch_size, dtype=np.int32)
+            for r, s in enumerate(group):
+                chunk = codes[s : s + l]
+                plane[r, : len(chunk)] = chunk
+                lengths[r] = len(chunk)
+            seen, tgt = self._call(self._step_targets, seen, plane, lengths)
+            tgt = np.asarray(tgt)
+            for r, s in enumerate(group):
+                parts.append(tgt[r, : min(step, w - s)])
+        targets = np.concatenate(parts) if parts else np.zeros(0, np.int32)
+        return seen, fold_host(self.taxonomy, targets)
+
+    def ucount(self, seen) -> np.ndarray:
+        s = np.asarray(seen)  # [dp, dbp, loc_slots]
+        merged = s.any(axis=0)  # [dbp, loc_slots]
+        t = self._st_loc_host[merged]
+        t = t[t > 1]
+        return np.bincount(t, minlength=self.num_targ).astype(np.int64)

@@ -58,3 +58,61 @@ def test_sharded_matches_single_device(world, dp, dbp):
     assert res1.gcount.tolist() == res2.gcount.tolist()
     assert res1.ucount.tolist() == res2.ucount.tolist()
     assert res1.reads == res2.reads
+
+
+@pytest.mark.parametrize("dp,dbp", [(8, 1), (1, 8), (4, 2), (2, 4)])
+def test_fp_sharded_matches_single_device(world, dp, dbp):
+    """The production fingerprint engine sharded over a (data, db) mesh is
+    bit-equal to the single-device fingerprint engine (and hence to the
+    reference): L1 bucket-range sharding + all_gather hit merge."""
+    from kmer_id_tpu.engine.fpclassify import FpClassifier
+    from kmer_id_tpu.parallel.fpsharded import ShardedFpClassifier
+
+    rec, kmap, tax, packed = world
+    assert len(jax.devices()) >= dp * dbp
+    records = make_reads(kmap, n=200, read_len=80)
+    for i in range(3):
+        parts = []
+        for _ in range(5):
+            parts.append(rand_dna(150))
+            import kmer_id_tpu.core.codec as codec
+
+            parts.append(codec.key_to_string(list(kmap)[i * 7]))
+        records.append((f"L{i}", "".join(parts), None))
+
+    cfg = ClassifyConfig.preset("nx", num_targ=8, batch_size=16, max_len=96)
+    single = FpClassifier(packed, tax, batch_size=16, max_len=96)
+    res1 = _run(single, cfg, records)
+
+    mesh = make_mesh(data=dp, db=dbp)
+    shard = ShardedFpClassifier(packed, tax, mesh, batch_size=16, max_len=96)
+    res2 = _run(shard, cfg, records)
+
+    assert res1.gcount.tolist() == res2.gcount.tolist()
+    assert res1.ucount.tolist() == res2.ucount.tolist()
+    assert res1.reads == res2.reads
+
+
+def test_fp_sharded_overflow_replay(world):
+    """Hit-dense reads exceed max_hits and exercise the sharded
+    target-plane replay."""
+    from kmer_id_tpu.engine.fpclassify import FpClassifier
+    from kmer_id_tpu.parallel.fpsharded import ShardedFpClassifier
+    import kmer_id_tpu.core.codec as codec
+
+    rec, kmap, tax, packed = world
+    keys = list(kmap)
+    records = []
+    for i in range(6):
+        seq = "".join(
+            codec.key_to_string(keys[int(rng.integers(len(keys)))]) for _ in range(12)
+        )
+        records.append((f"h{i}", seq, None))
+    cfg = ClassifyConfig.preset("nx", num_targ=8, batch_size=8, max_len=512)
+    single = FpClassifier(packed, tax, batch_size=8, max_len=512, max_hits=8)
+    res1 = _run(single, cfg, records)
+    mesh = make_mesh(data=2, db=4)
+    shard = ShardedFpClassifier(packed, tax, mesh, batch_size=8, max_len=512, max_hits=8)
+    res2 = _run(shard, cfg, records)
+    assert res1.gcount.tolist() == res2.gcount.tolist()
+    assert res1.ucount.tolist() == res2.ucount.tolist()
