@@ -288,7 +288,8 @@ def build_probes(
     )
     emittable = (~dead) & (table.target > 1) & (table.count >= minct)
 
-    out_rows: list[tuple[np.uint64, int, int, int, bool, int]] = []
+    chunks: list[tuple[np.ndarray, ...]] = []
+    cap = cfg.max_probes_per_target
     for i in range(num_orgs):
         if targno[i] <= 1:
             continue
@@ -310,25 +311,52 @@ def build_probes(
         cand = fresh & emittable[np.minimum(tidx, len(table) - 1)]
         ck, cp, cf, cti = k1[cand], p1[cand], f1[cand], tidx[cand]
         ent_ok = check_entropy_keys(ck, cfg.min_entropy, cfg.max_homopolymer)
-        minpos = -1
-        for j in range(len(ck)):
-            t = int(table.target[cti[j]])
-            if cp[j] > minpos and pcount[t] < cfg.max_probes_per_target:
+        ctarg = table.target[cti]
+        # Greedy non-overlap emission (minpos advances only on emission,
+        # kmer_build_vf6.cpp:620-627): precompute each candidate's jump
+        # target (first candidate with position > cp + KSIZE) so the chain
+        # walk costs O(#emissions) scalar hops, not O(#candidates) python
+        # work — the former round's per-candidate loop dominated multi-k-
+        # genome rebuild time.
+        nxt = np.searchsorted(cp, cp + KSIZE, side="right")
+        emit_js: list[int] = []
+        j, n = 0, len(ck)
+        while j < n:
+            t = ctarg[j]
+            if pcount[t] < cap:
                 if ent_ok[j]:
-                    out_rows.append(
-                        (ck[j], t, i, int(cp[j]), bool(cf[j]), int(table.count[cti[j]]))
-                    )
-                    minpos = int(cp[j]) + KSIZE
+                    emit_js.append(j)
                     pcount[t] += 1
+                    j = int(nxt[j])
+                    continue
+            # skipped candidates don't advance minpos
+            j += 1
+        if emit_js:
+            e = np.asarray(emit_js, dtype=np.int64)
+            chunks.append(
+                (
+                    ck[e],
+                    ctarg[e].astype(np.int32),
+                    np.full(len(e), i, dtype=np.int32),
+                    cp[e].astype(np.int32),
+                    cf[e].astype(bool),
+                    table.count[cti[e]].astype(np.int32),
+                )
+            )
         log(f"3 {i} {num_orgs} {accession[i]}", level=2)
 
+    def cat(col, dtype):
+        if not chunks:
+            return np.zeros(0, dtype=dtype)
+        return np.concatenate([c[col] for c in chunks]).astype(dtype)
+
     records = ProbeRecords(
-        keys=np.array([r[0] for r in out_rows], dtype=np.uint64),
-        target=np.array([r[1] for r in out_rows], dtype=np.int32),
-        org=np.array([r[2] for r in out_rows], dtype=np.int32),
-        position=np.array([r[3] for r in out_rows], dtype=np.int32),
-        fstrand=np.array([r[4] for r in out_rows], dtype=bool),
-        count=np.array([r[5] for r in out_rows], dtype=np.int32),
+        keys=cat(0, np.uint64),
+        target=cat(1, np.int32),
+        org=cat(2, np.int32),
+        position=cat(3, np.int32),
+        fstrand=cat(4, bool),
+        count=cat(5, np.int32),
     )
     write_probes_text(records, oname)
     with open(cname, "w") as f:
