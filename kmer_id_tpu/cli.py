@@ -38,6 +38,8 @@ def _add_mesh_args(p):
                    help="host:port of process 0 (multi-host runs)")
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace of the run to DIR")
 
 
 def _make_classifier(db, cfg, args):
@@ -153,6 +155,8 @@ def main(argv=None):
         log(f"packed {len(packed)} unique keys -> {args.out_dir}")
         return 0
 
+    from kmer_id_tpu.utils.timing import profile_trace
+
     if args.cmd == "classify-nx":
         import os
 
@@ -171,8 +175,9 @@ def main(argv=None):
             max_len=args.max_len,
         )
         clf = _make_classifier(db, cfg, args)
-        run_nx(args.fastq_dir, db, cfg, e1=args.e1, e2=args.e2,
-               fasta_mode=args.fasta, resume=args.resume, clf=clf)
+        with profile_trace(args.profile):
+            run_nx(args.fastq_dir, db, cfg, e1=args.e1, e2=args.e2,
+                   fasta_mode=args.fasta, resume=args.resume, clf=clf)
         return 0
 
     if args.cmd == "classify-jobs":
@@ -192,7 +197,8 @@ def main(argv=None):
             max_len=args.max_len,
         )
         clf = _make_classifier(db, cfg, args)
-        run_vf6(args.name, args.jname, db, cfg, root=args.root, clf=clf)
+        with profile_trace(args.profile):
+            run_vf6(args.name, args.jname, db, cfg, root=args.root, clf=clf)
         return 0
 
     if args.cmd == "classify-m3":
@@ -201,7 +207,8 @@ def main(argv=None):
         cfg = ClassifyConfig.preset(
             "m3", batch_size=args.batch_size, max_len=args.max_len
         )
-        run_m3(args.wdir, args.f1, args.f2, cfg=cfg)
+        with profile_trace(args.profile):
+            run_m3(args.wdir, args.f1, args.f2, cfg=cfg)
         return 0
 
     if args.cmd == "report-b10":

@@ -310,27 +310,43 @@ def build_probes(
         consumed[tidx[present]] = True
         cand = fresh & emittable[np.minimum(tidx, len(table) - 1)]
         ck, cp, cf, cti = k1[cand], p1[cand], f1[cand], tidx[cand]
-        ent_ok = check_entropy_keys(ck, cfg.min_entropy, cfg.max_homopolymer)
         ctarg = table.target[cti]
         # Greedy non-overlap emission (minpos advances only on emission,
         # kmer_build_vf6.cpp:620-627): precompute each candidate's jump
         # target (first candidate with position > cp + KSIZE) so the chain
         # walk costs O(#emissions) scalar hops, not O(#candidates) python
         # work — the former round's per-candidate loop dominated multi-k-
-        # genome rebuild time.
+        # genome rebuild time.  The entropy filter is evaluated LAZILY on
+        # walk-visited candidates only (~#emissions, not every candidate;
+        # a failure alters the chain downstream, so re-walk until the
+        # visited set is fully vetted — converges in 1 + #failures rounds).
         nxt = np.searchsorted(cp, cp + KSIZE, side="right")
-        emit_js: list[int] = []
-        j, n = 0, len(ck)
-        while j < n:
-            t = ctarg[j]
-            if pcount[t] < cap:
-                if ent_ok[j]:
-                    emit_js.append(j)
-                    pcount[t] += 1
-                    j = int(nxt[j])
-                    continue
-            # skipped candidates don't advance minpos
-            j += 1
+        n = len(ck)
+        ent_known = np.full(n, -1, dtype=np.int8)  # -1 unknown, 0 fail, 1 ok
+        while True:
+            pcount_trial = pcount.copy()
+            emit_js: list[int] = []
+            j = 0
+            while j < n:
+                t = ctarg[j]
+                if pcount_trial[t] < cap:
+                    if ent_known[j] != 0:
+                        emit_js.append(j)
+                        pcount_trial[t] += 1
+                        j = int(nxt[j])
+                        continue
+                # skipped candidates don't advance minpos
+                j += 1
+            unk = [jj for jj in emit_js if ent_known[jj] < 0]
+            if not unk:
+                pcount = pcount_trial
+                break
+            u = np.asarray(unk, dtype=np.int64)
+            ok = check_entropy_keys(ck[u], cfg.min_entropy, cfg.max_homopolymer)
+            ent_known[u] = ok.astype(np.int8)
+            if ok.all():
+                pcount = pcount_trial
+                break
         if emit_js:
             e = np.asarray(emit_js, dtype=np.int64)
             chunks.append(

@@ -461,6 +461,15 @@ def run_nx(
             result = sp.finish()
         write_result(os.path.join(fastq_dir, prefix + "_result.txt"), result)
         log(f"sample {prefix}: {result.reads} reads")
+        from kmer_id_tpu.utils.timing import write_metrics_json
+
+        write_metrics_json(
+            os.path.join(fastq_dir, ".kmer_id_tpu_metrics.jsonl"),
+            sample=prefix, reads=result.reads, wall_s=round(result.wall_s, 3),
+            reads_per_s=round(result.reads / max(result.wall_s, 1e-9), 1),
+            classified=int(result.reads - result.gcount[0]),
+            stages=result.stage_s,
+        )
         done.add(prefix)
         with open(manifest_path, "w") as f:
             json.dump(sorted(done), f)

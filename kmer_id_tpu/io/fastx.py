@@ -163,12 +163,25 @@ def load_genome_contigs(path, u_is_t: bool = False) -> str:
     return _concat_genome(lines(), u_is_t=u_is_t)
 
 
-_NORM = {c: c.upper() for c in "acgt"} | {c: c for c in "ACGT"}
-_NORM_U = _NORM | {"u": "T", "U": "T"}
+def _norm_table(u_is_t: bool) -> bytes:
+    tbl = bytearray(b"N" * 256)
+    for c in b"ACGT":
+        tbl[c] = c
+        tbl[c + 32] = c  # lowercase
+    if u_is_t:
+        tbl[ord("U")] = ord("T")
+        tbl[ord("u")] = ord("T")
+    return bytes(tbl)
+
+
+_NORM_TBL = _norm_table(False)
+_NORM_TBL_U = _norm_table(True)
 
 
 def _concat_genome(lines, u_is_t: bool) -> str:
-    norm = _NORM_U if u_is_t else _NORM
+    # bytes.translate normalizes at C speed (the per-character python dict
+    # walk was the builder's pass-1/3 hotspot on multi-k-genome rebuilds)
+    tbl = _NORM_TBL_U if u_is_t else _NORM_TBL
     out: list[str] = []
     for line in lines:
         if not line:
@@ -176,5 +189,5 @@ def _concat_genome(lines, u_is_t: bool) -> str:
         if line[0] == ">":
             out.append("N")
         else:
-            out.append("".join(norm.get(c, "N") for c in line))
+            out.append(line.encode("latin-1", "replace").translate(tbl).decode("latin-1"))
     return "".join(out)

@@ -37,3 +37,40 @@ class StageTimers:
 
     def summary(self) -> dict[str, float]:
         return {k: round(t.total, 4) for k, t in self.timers.items()}
+
+
+def write_metrics_json(path: str, **payload) -> None:
+    """Append one JSON metrics record (per-sample observability; the
+    structured twin of the reference's cout progress lines)."""
+    import json
+    import os
+    import time as _t
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "a") as f:
+        f.write(json.dumps({"ts": _t.time(), **payload}) + "\n")
+
+
+class profile_trace:
+    """Optional jax.profiler trace around a pipeline section.
+
+    Usage: ``with profile_trace(trace_dir): ...`` — no-op when dir is falsy.
+    View with TensorBoard / Perfetto (SURVEY.md §5 tracing row).
+    """
+
+    def __init__(self, trace_dir: str | None):
+        self.dir = trace_dir
+
+    def __enter__(self):
+        if self.dir:
+            import jax
+
+            jax.profiler.start_trace(self.dir)
+        return self
+
+    def __exit__(self, *exc):
+        if self.dir:
+            import jax
+
+            jax.profiler.stop_trace()
+        return False
