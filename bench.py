@@ -332,7 +332,15 @@ def _our_throughput(meta) -> tuple[float, dict]:
     warm.feed(warm_records)
     warm.finish()
     hbm = _hbm_bytes()
-    log(f"warmup/compile done (HBM in use: {hbm / 1e9:.2f} GB)")
+    # axon doesn't expose memory_stats; report the static device-table
+    # footprint (fingerprint tables + rec + seen bitmap) as a floor
+    tables = sum(
+        int(v.nbytes)
+        for v in clf._db.values()
+        if hasattr(v, "nbytes") and getattr(v, "ndim", 0) > 0
+    ) + clf.fpdb.n_slots  # int8 seen
+    log(f"warmup/compile done (HBM in use: {hbm / 1e9:.2f} GB; "
+        f"device tables {tables / 1e9:.2f} GB)")
 
     runs = []
     classified = 0.0
@@ -370,6 +378,7 @@ def _our_throughput(meta) -> tuple[float, dict]:
         "db_probes": int(len(db.packed)),
         "classified_pct": round(float(classified), 1),
         "hbm_bytes_in_use": hbm,
+        "device_table_bytes": tables,
         "long_read_mbase_per_s": round(lbps / 1e6, 2),
     }
 
