@@ -28,7 +28,7 @@ def test_galaxy_mitokmer_flow(tmp_path):
     sys.path.insert(0, os.path.join(ROOT, "tools"))
     import mito_rebuild_demo as demo
 
-    w = demo.synth_world(str(tmp_path), n_orgs=120, genome_len=3000, seed_reads=40)
+    w = demo.synth_world(str(tmp_path), n_orgs=80, genome_len=2500, seed_reads=40)
     from kmer_id_tpu.db.build import build_probes
 
     res = build_probes("mito", w["fadir"] + "/", root=str(tmp_path))
@@ -54,7 +54,7 @@ def test_galaxy_mitokmer_flow(tmp_path):
         [sys.executable, "-m", "kmer_id_tpu.cli", "mitokmer",
          "-w", wdir, "-d", outdir,
          "-i", os.path.join(REF, "1a.fasta"), "none", "--strip-cr"],
-        cwd=ROOT, capture_output=True, text=True, timeout=600,
+        cwd=ROOT, capture_output=True, text=True, timeout=1200,
     )
     assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
     lines = open(os.path.join(outdir, "mitokmer_result.csv")).read().splitlines()
