@@ -43,10 +43,6 @@ def _add_mesh_args(p):
 
 
 def _make_classifier(db, cfg, args):
-    if getattr(args, "num_processes", None):
-        from kmer_id_tpu.parallel.distributed import initialize
-
-        initialize(args.coordinator, args.num_processes, args.process_id)
     if args.mesh_data * args.mesh_db > 1:
         from kmer_id_tpu.parallel import (
             ShardedClassifier,
@@ -88,6 +84,8 @@ def main(argv=None):
     nx.add_argument("--num-targ", type=int, default=5982)
     nx.add_argument("--fasta", action="store_true", help="FASTA mode (FASTQ=0)")
     nx.add_argument("--resume", action="store_true")
+    nx.add_argument("--metrics", default=None, metavar="JSONL",
+                    help="write per-sample metrics to this JSONL file")
     _add_mesh_args(nx)
 
     vj = sub.add_parser("classify-jobs", help="vf6 job-based classification")
@@ -139,6 +137,22 @@ def main(argv=None):
     args = ap.parse_args(argv)
     set_verbosity(args.verbose)
 
+    # Multi-host bring-up must happen before ANYTHING instantiates a JAX
+    # backend (an earlier backend touch would silently latch a single-process
+    # device view); DB loading below imports jax transitively.
+    if getattr(args, "num_processes", None):
+        import jax
+
+        from kmer_id_tpu.parallel.distributed import initialize
+
+        initialize(args.coordinator, args.num_processes, args.process_id)
+        if jax.process_count() != args.num_processes:
+            raise SystemExit(
+                f"jax.distributed came up with {jax.process_count()} processes, "
+                f"expected {args.num_processes} (was a backend touched before "
+                "initialize()?)"
+            )
+
     if args.cmd == "build-db":
         from kmer_id_tpu.db.build import build_probes
 
@@ -177,7 +191,8 @@ def main(argv=None):
         clf = _make_classifier(db, cfg, args)
         with profile_trace(args.profile):
             run_nx(args.fastq_dir, db, cfg, e1=args.e1, e2=args.e2,
-                   fasta_mode=args.fasta, resume=args.resume, clf=clf)
+                   fasta_mode=args.fasta, resume=args.resume, clf=clf,
+                   metrics_path=args.metrics)
         return 0
 
     if args.cmd == "classify-jobs":

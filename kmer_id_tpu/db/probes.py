@@ -139,23 +139,8 @@ def _parse_probes_fast(path) -> ProbeRecords | None:
     # each line contributed ",t,o,p,s,c" -> after joins: 6 newline-separated
     # tokens per line with an empty first token; drop empties via fromiter?
     # np.loadtxt skips empty lines, leaving exactly 5 ints per probe line.
-    import io as _io
-    import warnings
-
-    try:
-        # np.fromstring's text mode is deprecated but ~4x faster than
-        # np.loadtxt; on multi-10M-probe DBs this is the parse hot spot.
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore", DeprecationWarning)
-            nums = np.fromstring(num_blob, dtype=np.int64, sep="\n")
-        if nums.size != 5 * nlines:
-            nums = np.loadtxt(_io.BytesIO(num_blob), dtype=np.int64, ndmin=1)
-    except (ValueError, AttributeError):
-        try:
-            nums = np.loadtxt(_io.BytesIO(num_blob), dtype=np.int64, ndmin=1)
-        except ValueError:
-            return None
-    if nums.size != 5 * nlines:
+    nums = _parse_ints_lines(num_blob)
+    if nums is None or nums.size != 5 * nlines:
         return None
     nums = nums.reshape(nlines, 5)
     codes = CODE_LUT_LOCAL[np.frombuffer(kmer_blob, dtype=np.uint8)].reshape(
@@ -180,6 +165,40 @@ def _parse_probes_fast(path) -> ProbeRecords | None:
         fstrand=nums[:, 3] == 0,
         count=nums[:, 4].astype(np.int32),
     )
+
+
+def _parse_ints_lines(blob: bytes) -> np.ndarray | None:
+    """Vectorized parse of newline-separated non-negative decimal ints.
+
+    Stable replacement for ``np.fromstring(..., sep="\\n")`` (text mode is
+    removed in NumPy 2.x, where the old fallback silently degraded to the
+    ~4x-slower np.loadtxt — this is the parse hot spot on multi-10M-probe
+    DBs).  Empty tokens (from consecutive separators) are skipped, matching
+    loadtxt's empty-line behavior.  Returns None on any non-digit byte.
+    """
+    d = np.frombuffer(blob, dtype=np.uint8)
+    if d.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    nl = d == ord("\n")
+    if not nl[-1]:  # ensure a trailing separator so every token has an end
+        d = np.concatenate([d, np.array([ord("\n")], dtype=np.uint8)])
+        nl = d == ord("\n")
+    digits = d - ord("0")
+    if not (nl | (digits <= 9)).all():
+        return None
+    ends = np.flatnonzero(nl)
+    starts = np.concatenate([[0], ends[:-1] + 1])
+    tok_len = ends - starts
+    keep = tok_len > 0
+    ends, tok_len = ends[keep], tok_len[keep]
+    vals = np.zeros(len(ends), dtype=np.int64)
+    dig64 = digits.astype(np.int64)
+    place = np.int64(1)
+    for p in range(int(tok_len.max(initial=0))):
+        has = tok_len > p
+        vals[has] += dig64[ends[has] - 1 - p] * place
+        place *= 10
+    return vals
 
 
 def _parse_probes_slow(path) -> ProbeRecords:

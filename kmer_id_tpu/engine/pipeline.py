@@ -203,7 +203,9 @@ class SampleProcessor:
             }
 
     def feed(self, records: Iterable) -> None:
-        self._barrier()  # keep account order exact if paths are mixed
+        # Both feed paths enqueue to the same single-worker collector FIFO,
+        # so account order stays exact without draining the pipeline here
+        # (callers streaming many small feed() chunks keep full overlap).
         for acc, seq, qual in records:
             for item in self.batcher.add(acc, seq, qual):
                 self._consume(item)
@@ -233,9 +235,9 @@ class SampleProcessor:
         if self._feeder is not None:
             for nb in self._feeder.flush():
                 self._consume_native(nb)
-        self._barrier()
         for item in self.batcher.flush():
             self._consume(item)
+        self._barrier()
         self._collector.shutdown(wait=True)
         if self._verify is not None:
             ucount = self._verify["ucount"]
@@ -262,17 +264,29 @@ class SampleProcessor:
 
     # ------------------------------------------------------------ internals
     def _consume(self, item) -> None:
+        """Python-batcher path: submit on the main thread, collect + account
+        on the single collector worker (same overlap as the native path;
+        FIFO keeps account order exact across both paths)."""
         if self._verify is not None and isinstance(item, Batch):
             self._replay_verify(item)
             return
         if isinstance(item, LongRead):
-            self.seen, final = self.clf.process_long(self.seen, item)
-            self._account(int(final), item.meta)
+            self._inflight.append(self._collector.submit(self._long_job, item))
         else:
-            self.seen, finals = self.clf.process_batch(self.seen, item)
-            metas = item.metas
-            for i in range(item.n_rows):
-                self._account(int(finals[i]), metas[i])
+            self.seen, pending = self.clf.submit_batch(self.seen, item)
+            self._inflight.append(
+                self._collector.submit(self._batch_job, pending, item)
+            )
+        while len(self._inflight) > self.pipeline_depth:
+            self._inflight.popleft().result()
+
+    def _long_job(self, item: LongRead) -> None:
+        self.seen_ovr, final = self.clf.process_long(self.seen_ovr, item)
+        self._account(int(final), item.meta)
+
+    def _batch_job(self, pending, batch: Batch) -> None:
+        self.seen_ovr, finals = self.clf.collect(self.seen_ovr, pending)
+        self._account_batch(finals[: batch.n_rows], batch.metas)
 
     def _consume_native(self, nb) -> None:
         if self._verify is not None:
@@ -428,9 +442,14 @@ def run_nx(
     fasta_mode: bool = False,
     resume: bool = False,
     clf: Classifier | None = None,
+    metrics_path: str | None = None,
 ) -> list[str]:
     """Batch-classify every paired sample in a directory (nx driver,
-    ``newkmer_10nx.cpp:915-1054``).  Returns the processed sample prefixes."""
+    ``newkmer_10nx.cpp:915-1054``).  Returns the processed sample prefixes.
+
+    ``metrics_path``: optional JSONL file for per-sample metrics; metrics are
+    written only when requested (no hidden side-effect files in the user's
+    data directory)."""
     cfg = cfg or ClassifyConfig.preset("nx")
     clf = clf or make_classifier(db, cfg)
     prefixes = []
@@ -461,15 +480,16 @@ def run_nx(
             result = sp.finish()
         write_result(os.path.join(fastq_dir, prefix + "_result.txt"), result)
         log(f"sample {prefix}: {result.reads} reads")
-        from kmer_id_tpu.utils.timing import write_metrics_json
+        if metrics_path:
+            from kmer_id_tpu.utils.timing import write_metrics_json
 
-        write_metrics_json(
-            os.path.join(fastq_dir, ".kmer_id_tpu_metrics.jsonl"),
-            sample=prefix, reads=result.reads, wall_s=round(result.wall_s, 3),
-            reads_per_s=round(result.reads / max(result.wall_s, 1e-9), 1),
-            classified=int(result.reads - result.gcount[0]),
-            stages=result.stage_s,
-        )
+            write_metrics_json(
+                metrics_path,
+                sample=prefix, reads=result.reads, wall_s=round(result.wall_s, 3),
+                reads_per_s=round(result.reads / max(result.wall_s, 1e-9), 1),
+                classified=int(result.reads - result.gcount[0]),
+                stages=result.stage_s,
+            )
         done.add(prefix)
         with open(manifest_path, "w") as f:
             json.dump(sorted(done), f)
