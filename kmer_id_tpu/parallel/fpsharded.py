@@ -60,10 +60,52 @@ class _Pending:
     finals: object
     batch: Batch
     n_rows: int
+    ovr_any: object = None  # replicated global overflow count (device scalar)
+
+
+def _local_rows(garr: jax.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(global row indices, values) of the axis-0 shards THIS process holds
+    (deduplicated — replicated axes produce repeated shards)."""
+    rows: list[np.ndarray] = []
+    vals: list[np.ndarray] = []
+    seen_starts: set[int] = set()
+    for sh in garr.addressable_shards:
+        sl = sh.index[0] if sh.index else slice(0, garr.shape[0])
+        start = sl.start or 0
+        stop = sl.stop if sl.stop is not None else garr.shape[0]
+        if start in seen_starts:
+            continue
+        seen_starts.add(start)
+        rows.append(np.arange(start, stop))
+        vals.append(np.asarray(sh.data))
+    order = np.argsort([r[0] for r in rows])
+    rows_a = np.concatenate([rows[i] for i in order])
+    vals_a = np.concatenate([vals[i] for i in order])
+    return rows_a, vals_a
+
+
+def _put_global(arr: np.ndarray, sharding) -> jax.Array:
+    """Place a full host array onto a (possibly multi-process) sharding.
+
+    Single-process: plain device_put.  Multi-process (every process holds
+    the SAME full host array, e.g. DB tables built from the shared probe
+    file): jax.make_array_from_callback hands each process only its
+    addressable shards — device_put to non-addressable devices would fail.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
 
 
 class ShardedFpClassifier:
-    """Drop-in for engine.FpClassifier, spread over a (data, db) mesh."""
+    """Drop-in for engine.FpClassifier, spread over a (data, db) mesh.
+
+    Multi-process (``jax.distributed``) capable: DB tables are placed with
+    :func:`_put_global`; batches may arrive either as full host arrays
+    (single-process) or as pre-sharded global jax.Arrays built from
+    process-local rows (``make_global_batch``); the candidate-overflow
+    replay decision is a replicated device scalar so every process takes
+    the same collective branch (tests/test_multihost.py)."""
 
     def __init__(
         self,
@@ -113,12 +155,12 @@ class ShardedFpClassifier:
         sh_db0 = NamedSharding(mesh, P("db", None, None))
         sh_db1 = NamedSharding(mesh, P("db", None))
         rep = NamedSharding(mesh, P())
-        self._fptab = jax.device_put(f.fptab, sh_db1)
-        self._fptab2 = jax.device_put(f.fptab2, rep)
-        self._rec = jax.device_put(rec_loc, sh_db0)
-        self._st = jax.device_put(st_loc, sh_db1)
+        self._fptab = _put_global(f.fptab, sh_db1)
+        self._fptab2 = _put_global(f.fptab2, rep)
+        self._rec = _put_global(rec_loc, sh_db0)
+        self._st = _put_global(st_loc, sh_db1)
         chain3, _ = taxonomy.chain_tables()
-        self._chain3 = jax.device_put(chain3, rep)
+        self._chain3 = _put_global(chain3, rep)
         self._salts = tuple(jnp.uint32(s) for s in (f.s1, f.s2, f.s3, f.s4, f.s5))
         self._data_sh = NamedSharding(mesh, P("data"))
         self._seen_sh = NamedSharding(mesh, P("data", "db"))
@@ -226,7 +268,13 @@ class ShardedFpClassifier:
             )
             finals = jnp.where(consistent, jnp.where(nh > 0, dtgt, 0), folded)
             finals = jnp.where(overflow, finals | jnp.int32(1 << 30), finals)
-            return seen, finals
+            # replicated global overflow count: under multi-process meshes
+            # every process must take the SAME replay branch (the replay is a
+            # collective — divergent host control flow would deadlock), so
+            # the trigger rides out of the kernel replicated instead of being
+            # derived from process-local finals rows
+            ovr_any = jax.lax.psum(overflow.astype(jnp.int32).sum(), "data")
+            return seen, finals, ovr_any
 
         def step_targets(fptab, fptab2, rec, st, chain3, seen, codes, lengths, salts):
             """Exact per-window global target plane (replay/long-read path)."""
@@ -276,71 +324,131 @@ class ShardedFpClassifier:
         def build(fn, out):
             f_ = shard_map(
                 fn, mesh=mesh, in_specs=ispec,
-                out_specs=(P("data", "db", None), out), check_vma=False,
+                out_specs=(P("data", "db", None),) + out, check_vma=False,
             )
             return jax.jit(f_, donate_argnums=(5,))
 
-        self._step_finals = build(step_finals, P("data"))
-        self._step_targets = build(step_targets, P("data", None))
+        self._step_finals = build(step_finals, (P("data"), P()))
+        self._step_targets = build(step_targets, (P("data", None),))
 
     # ------------------------------------------------------------ API
     def new_seen(self) -> jax.Array:
-        return jax.device_put(
-            jnp.zeros((self.dp, self.dbp, self.loc_slots), jnp.int8), self._seen_sh
+        shape = (self.dp, self.dbp, self.loc_slots)
+        if jax.process_count() == 1:
+            return jax.device_put(jnp.zeros(shape, jnp.int8), self._seen_sh)
+        return jax.make_array_from_callback(
+            shape, self._seen_sh,
+            lambda idx: np.zeros(np.zeros(shape, np.int8)[idx].shape, np.int8),
         )
 
+    def make_global_batch(self, local_codes, local_lengths):
+        """Process-local batch rows -> global P("data")-sharded arrays.
+
+        Each process passes the rows for ITS slice of the data axis (global
+        batch row r lives on data shard r * dp // batch_size); the returned
+        arrays feed submit_batch/_call directly.
+        """
+        from jax import make_array_from_process_local_data as mk
+
+        codes = mk(self._data_sh, np.ascontiguousarray(local_codes))
+        lengths = mk(self._data_sh, np.ascontiguousarray(local_lengths))
+        return codes, lengths
+
+    def _put_data(self, x):
+        if isinstance(x, jax.Array) and x.sharding == self._data_sh:
+            return x  # pre-sharded global array (multi-process feeders)
+        return jax.device_put(jnp.asarray(x), self._data_sh)
+
     def _call(self, fn, seen, codes, lengths):
-        codes = jax.device_put(jnp.asarray(codes), self._data_sh)
-        lengths = jax.device_put(jnp.asarray(lengths), self._data_sh)
         return fn(
             self._fptab, self._fptab2, self._rec, self._st, self._chain3,
-            seen, codes, lengths, self._salts,
+            seen, self._put_data(codes), self._put_data(lengths), self._salts,
         )
 
     def submit_batch(self, seen, batch: Batch):
-        seen, finals = self._call(self._step_finals, seen, batch.codes, batch.lengths)
-        return seen, _Pending(finals, batch, batch.n_rows)
+        seen, finals, ovr_any = self._call(
+            self._step_finals, seen, batch.codes, batch.lengths
+        )
+        return seen, _Pending(finals, batch, batch.n_rows, ovr_any)
 
     def collect(self, seen, pending: _Pending):
+        """Single-process collect (full finals visible).  Multi-process
+        drivers use :meth:`collect_local`."""
         arr = np.asarray(pending.finals)
         overflow = (arr & (1 << 30)) != 0
         finals = (arr & ~np.int32(1 << 30)).astype(np.int32)
-        ovr = np.nonzero(overflow)[0]
-        if len(ovr):
+        if int(pending.ovr_any) > 0:
             seen, tgt = self._call(
                 self._step_targets, seen, pending.batch.codes, pending.batch.lengths
             )
             tgt = np.asarray(tgt)
-            for r in ovr:
+            for r in np.nonzero(overflow)[0]:
                 finals[r] = fold_host(self.taxonomy, tgt[r][tgt[r] > 0])
         return seen, finals[: pending.n_rows]
+
+    def collect_local(self, seen, pending: _Pending):
+        """Multi-process collect: returns (global_row_indices, finals) for
+        THIS process's addressable rows only.  The replay branch keys off
+        the replicated overflow count, so all processes run the collective
+        together even when only one holds an overflowing row."""
+        rows, arr = _local_rows(pending.finals)
+        overflow = (arr & (1 << 30)) != 0
+        finals = (arr & ~np.int32(1 << 30)).astype(np.int32)
+        if int(pending.ovr_any) > 0:
+            seen, tgt_g = self._call(
+                self._step_targets, seen, pending.batch.codes, pending.batch.lengths
+            )
+            trows, tgt = _local_rows(tgt_g)
+            by_row = {int(r): tgt[i] for i, r in enumerate(trows)}
+            for i in np.nonzero(overflow)[0]:
+                t = by_row[int(rows[i])]
+                finals[i] = fold_host(self.taxonomy, t[t > 0])
+        keep = rows < pending.n_rows
+        return seen, rows[keep], finals[keep]
 
     def process_batch(self, seen, batch: Batch):
         seen, pending = self.submit_batch(seen, batch)
         return self.collect(seen, pending)
 
     def process_long(self, seen, item: LongRead):
-        codes = item.codes
-        tl = len(codes)
+        seen, finals = self.process_long_many(seen, [item])
+        return seen, finals[0]
+
+    def process_long_many(self, seen, items: list):
+        """KSIZE-1-halo chunks from MANY reads packed into shared mesh
+        planes — one dispatch per ~batch_size chunks instead of per read
+        (the single-chip engine's aggregated long lane, carried onto the
+        mesh; a per-read loop here regressed FASTA workloads to one mesh
+        roundtrip per read).  Uses the exact per-window target-plane step,
+        so the ordered fold sees every window and the shard-local seen
+        scatter happens inside the same dispatch."""
         l = self.max_len
         step = l - KSIZE + 1
-        w = tl - KSIZE + 1
-        starts = list(range(0, w, step))
-        parts: list[np.ndarray] = []
-        for g in range(0, len(starts), self.batch_size):
-            group = starts[g : g + self.batch_size]
+        specs = []  # (item_idx, start, n_windows_owned)
+        for idx, item in enumerate(items):
+            w = len(item.codes) - KSIZE + 1
+            for s in range(0, max(w, 0), step):
+                specs.append((idx, s, min(step, w - s)))
+        parts: dict[int, list[np.ndarray]] = {i: [] for i in range(len(items))}
+        for g in range(0, len(specs), self.batch_size):
+            group = specs[g : g + self.batch_size]
             plane = np.full((self.batch_size, l), 4, dtype=np.uint8)
             lengths = np.zeros(self.batch_size, dtype=np.int32)
-            for r, s in enumerate(group):
-                chunk = codes[s : s + l]
+            for r, (idx, s, _) in enumerate(group):
+                chunk = items[idx].codes[s : s + l]
                 plane[r, : len(chunk)] = chunk
                 lengths[r] = len(chunk)
             seen, tgt = self._call(self._step_targets, seen, plane, lengths)
             tgt = np.asarray(tgt)
-            for r, s in enumerate(group):
-                parts.append(tgt[r, : min(step, w - s)])
-        targets = np.concatenate(parts) if parts else np.zeros(0, np.int32)
-        return seen, fold_host(self.taxonomy, targets)
+            for r, (idx, s, owned) in enumerate(group):
+                parts[idx].append(tgt[r, :owned])
+        finals = []
+        for idx in range(len(items)):
+            targets = (
+                np.concatenate(parts[idx]) if parts[idx] else np.zeros(0, np.int32)
+            )
+            finals.append(fold_host(self.taxonomy, targets[targets > 0]))
+        return seen, finals
 
     def ucount(self, seen) -> np.ndarray:
         s = np.asarray(seen)  # [dp, dbp, loc_slots]

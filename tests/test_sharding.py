@@ -116,3 +116,35 @@ def test_fp_sharded_overflow_replay(world):
     res2 = _run(shard, cfg, records)
     assert res1.gcount.tolist() == res2.gcount.tolist()
     assert res1.ucount.tolist() == res2.ucount.tolist()
+
+
+def test_fp_sharded_long_many_aggregated(world):
+    """process_long_many packs chunks of MANY long reads into shared mesh
+    planes; finals and counters must match the single-device engine."""
+    from kmer_id_tpu.engine.fpclassify import FpClassifier
+    from kmer_id_tpu.io.batch import LongRead
+    from kmer_id_tpu.parallel.fpsharded import ShardedFpClassifier
+    import kmer_id_tpu.core.codec as codec
+
+    rec, kmap, tax, packed = world
+    keys = list(kmap)
+    items = []
+    for i in range(5):
+        parts = []
+        for j in range(4):
+            parts.append(rand_dna(120))
+            parts.append(codec.key_to_string(keys[(i * 11 + j * 3) % len(keys)]))
+        seq = "".join(parts)
+        items.append(LongRead(meta=f"L{i}", codes=codec.encode_bases(seq)))
+
+    single = FpClassifier(packed, tax, batch_size=8, max_len=96)
+    s1 = single.new_seen()
+    s1, f1 = single.process_long_many(s1, items)
+
+    mesh = make_mesh(data=2, db=4)
+    shard = ShardedFpClassifier(packed, tax, mesh, batch_size=8, max_len=96)
+    s2 = shard.new_seen()
+    s2, f2 = shard.process_long_many(s2, items)
+
+    assert [int(x) for x in f1] == [int(x) for x in f2]
+    assert single.ucount(s1).tolist() == shard.ucount(s2).tolist()
