@@ -152,6 +152,12 @@ def main(argv=None):
                 f"expected {args.num_processes} (was a backend touched before "
                 "initialize()?)"
             )
+        from kmer_id_tpu.parallel.distributed import health_check
+
+        h = health_check()
+        log(f"health: {h}")
+        if not h["ok"]:
+            raise SystemExit(f"device health check failed: {h}")
 
     if args.cmd == "build-db":
         from kmer_id_tpu.db.build import build_probes

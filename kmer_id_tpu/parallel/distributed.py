@@ -43,18 +43,57 @@ def initialize(coordinator: str | None = None, num_processes: int | None = None,
     )
 
 
-def health_check() -> dict:
-    """Startup barrier + device sanity (failure-detection subsystem)."""
+def health_check(timeout_s: float = 60.0) -> dict:
+    """Startup barrier + per-device sanity (failure-detection subsystem).
+
+    Runs a tiny computation ON EVERY local device (a hung or sick
+    non-default chip fails its own probe instead of hiding behind device 0)
+    and, under multi-process ``jax.distributed``, a global psum across all
+    processes acting as a startup barrier — a dead peer surfaces as this
+    collective timing out rather than a later mid-batch hang.
+    """
+    import numpy as np
+
     import jax.numpy as jnp
 
     t0 = time.monotonic()
-    val = jnp.ones(()).sum()  # touches every local device lazily via default
-    ok = float(val) == 1.0
+    per_device: dict[str, bool] = {}
+    ok = True
+    for d in jax.local_devices():
+        try:
+            v = jax.device_put(jnp.arange(8, dtype=jnp.int32), d).sum()
+            good = int(v) == 28
+        except Exception:
+            good = False
+        per_device[str(d)] = good
+        ok &= good
+    barrier_s = None
+    if getattr(jax, "process_count", lambda: 1)() > 1:
+        tb = time.monotonic()
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devs = np.array(jax.devices())
+        mesh = Mesh(devs, ("all",))
+        x = jax.make_array_from_callback(
+            (len(devs),), NamedSharding(mesh, P("all")),
+            lambda idx: np.ones(np.zeros(len(devs))[idx].shape, np.int32),
+        )
+        total = int(
+            jax.jit(
+                jax.shard_map(
+                    lambda v: jax.lax.psum(v.sum(), "all"),
+                    mesh=mesh, in_specs=P("all"), out_specs=P(),
+                )
+            )(x)
+        )
+        ok &= total == len(devs)
+        barrier_s = round(time.monotonic() - tb, 3)
     return {
         "host": socket.gethostname(),
         "process": getattr(jax, "process_index", lambda: 0)(),
-        "devices": [str(d) for d in jax.local_devices()],
+        "devices": per_device,
         "ok": ok,
+        "barrier_s": barrier_s,
         "probe_s": round(time.monotonic() - t0, 3),
     }
 

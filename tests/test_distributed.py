@@ -6,7 +6,9 @@ from kmer_id_tpu.parallel.distributed import SampleQueue, health_check
 def test_health_check():
     h = health_check()
     assert h["ok"]
-    assert h["devices"]
+    # every local device individually probed (8 virtual CPU devices)
+    assert len(h["devices"]) == 8 and all(h["devices"].values())
+    assert h["barrier_s"] is None  # single-process: no cross-process barrier
 
 
 def test_sample_queue_claims_and_restart(tmp_path):

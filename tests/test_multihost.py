@@ -26,10 +26,13 @@ sys.path.insert(0, %(root)r)
 import jax
 jax.config.update("jax_platforms", "cpu")
 pid = int(sys.argv[1])
-from kmer_id_tpu.parallel.distributed import initialize, SampleQueue
+from kmer_id_tpu.parallel.distributed import initialize, SampleQueue, health_check
 initialize(coordinator=%(coord)r, num_processes=2, process_id=pid)
 assert jax.process_count() == 2, jax.process_count()
 assert jax.device_count() == 4, jax.device_count()
+h = health_check()
+assert h["ok"] and len(h["devices"]) == 2, h
+assert h["barrier_s"] is not None  # cross-process psum barrier ran
 
 # a psum over the full cross-process mesh
 import jax.numpy as jnp
