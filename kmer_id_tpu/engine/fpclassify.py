@@ -73,11 +73,16 @@ def unpack_codes(packed: jax.Array, exc: jax.Array, l: int) -> jax.Array:
 def _compact_verify(db, ex, max_hits: int):
     """Shared candidate-compaction + verify stage of the summary/finals paths.
 
-    Sorts the <=2P fingerprint candidates of each read into window order
-    (two-operand sort: key = window position, payload = slot id — see module
-    doc) and verifies the first ``max_hits`` against the full 60-bit keys in
-    ``rec``.  Returns a dict of per-read tensors consumed by fp_summary /
-    fp_finals.
+    Compacts the <=3P fingerprint candidates of each read into window order
+    (two-operand stable sort: key = window position, payload = slot id) and
+    verifies the first ``max_hits`` against the full 60-bit keys in ``rec``.
+    Measured alternatives on the target chip (tools/kernel_profile.py), all
+    slower IN CONTEXT than this sort: rank-compaction scatter ~5x (XLA
+    scatters cost ~40 ns/element here); single-operand column-index sort
+    with take_along_axis payload recovery +7%; lax.top_k + payload gather
+    +2.5 ms (top_k alone benches faster than the sort, but the recovered
+    payload fuses worse with the verify stage downstream).  Returns a dict
+    of per-read tensors consumed by fp_summary / fp_finals.
     """
     hi, lo, valid = ex["hi"], ex["lo"], ex["valid"]
     b, p = hi.shape
@@ -94,6 +99,7 @@ def _compact_verify(db, ex, max_hits: int):
     cand32 = cand32[:, :max_hits]
     has = pos32 < p
     pc = jnp.minimum(pos32, p - 1)
+    ncand = sum(v.sum(axis=1) for _, v in planes).astype(jnp.int32)
     qhi = jnp.take_along_axis(hi, pc, axis=1)
     qlo = jnp.take_along_axis(lo, pc, axis=1)
     rows = jnp.take(rec, cand32.reshape(-1), axis=0).reshape(b, max_hits, 4)
@@ -108,11 +114,11 @@ def _compact_verify(db, ex, max_hits: int):
     dtin = jnp.take_along_axis(tin, j[:, None], axis=1)[:, 0]
     ok = ~ver | ((tin <= dtin[:, None]) & (dtin[:, None] <= tout))
     consistent = jnp.all(ok, axis=1)
-    ncand = sum(v.sum(axis=1) for _, v in planes)
     overflow = ncand > max_hits
     return {
         "cand": cand32, "ver": ver, "nh": nh, "deepest": deepest,
         "consistent": consistent, "overflow": overflow,
+        "tin": tin, "tout": tout,
     }
 
 
@@ -166,8 +172,6 @@ def fp_finals(db, ex, seen, max_hits: int):
 
     Returns (finals int32 [B], seen int8 [n_slots]).
     """
-    from kmer_id_tpu.ops.fold import fold_targets_interval
-
     b = ex["hi"].shape[0]
     cv = _compact_verify(db, ex, max_hits)
     cand32, ver, nh = cv["cand"], cv["ver"], cv["nh"]
@@ -184,13 +188,19 @@ def fp_finals(db, ex, seen, max_hits: int):
     # the exact window-ordered msca fold (holes/misses are 0 and are skipped).
     # The fold runs under a batch-level lax.cond: virtually all real reads are
     # consistent (probes are >= 31 bases apart per genome), so the scan is
-    # usually skipped entirely at runtime.
+    # usually skipped entirely at runtime.  fold_targets_chain reads each
+    # hit's (tin, tout) straight from the verify rows — no chain pre-gather.
+    from kmer_id_tpu.ops.fold import fold_targets_chain
+
     t = jnp.where(ver, jnp.take(st, cand32.reshape(-1)).reshape(b, max_hits), 0)
     dtgt = jnp.take(st, deepest)
     need_fold = jnp.any(~consistent & (nh > 0))
+    # consistent rows' fold results are discarded below — zero their hits so
+    # the fold's dynamic trip count tracks only the inconsistent rows
+    t_fold = jnp.where(consistent[:, None], 0, t)
     folded = jax.lax.cond(
         need_fold,
-        lambda: fold_targets_interval(db["chain3"], t),
+        lambda: fold_targets_chain(db["chain3"], t_fold, cv["tin"], cv["tout"]),
         lambda: jnp.zeros((b,), jnp.int32),
     )
     finals = jnp.where(consistent, jnp.where(nh > 0, dtgt, 0), folded)
@@ -334,14 +344,9 @@ class FpClassifier:
 
     def submit_batch(self, seen, batch: Batch):
         finals, seen = self._launch_finals(seen, batch)
-        try:
-            finals.copy_to_host_async()
-        except AttributeError:
-            pass
         return seen, PendingBatch(finals, batch, None, batch.n_rows)
 
-    def collect(self, seen, pending: PendingBatch):
-        arr = np.asarray(pending.packed)
+    def _finish_collect(self, seen, arr: np.ndarray, pending: PendingBatch):
         overflow = (arr & (1 << 30)) != 0
         finals = (arr & ~np.int32(1 << 30)).astype(np.int32)
         # candidate-overflow reads (rare, ~2^-16 fingerprint flukes beyond
@@ -356,6 +361,33 @@ class FpClassifier:
                 s = s[s >= 0]
                 finals[r] = fold_host(self.taxonomy, self.slot_target[s])
         return seen, finals[: pending.n_rows]
+
+    def collect(self, seen, pending: PendingBatch):
+        return self._finish_collect(seen, np.asarray(pending.packed), pending)
+
+    def collect_many(self, seen, pendings: list):
+        """Collect MANY pending batches with ONE device->host fetch.
+
+        Every fetch over the tunneled link pays a ~25 ms dispatch+transfer
+        roundtrip regardless of size (tools/link_profile.py: per-batch fetch
+        24.7 ms vs 4.2 ms/batch when fetched 8 at a time), so the finals of
+        a group of batches are concatenated on device (one async dispatch)
+        and pulled in a single np.asarray.  Returns (seen, [finals...])
+        aligned with ``pendings``, each already sliced to its n_rows.
+        """
+        if len(pendings) == 1:
+            seen, f = self.collect(seen, pendings[0])
+            return seen, [f]
+        cat = jnp.concatenate([p.packed for p in pendings], axis=0)
+        arr_all = np.asarray(cat)
+        outs = []
+        off = 0
+        for p in pendings:
+            n = p.packed.shape[0]
+            seen, finals = self._finish_collect(seen, arr_all[off : off + n], p)
+            off += n
+            outs.append(finals)
+        return seen, outs
 
     def process_batch(self, seen, batch: Batch):
         seen, pending = self.submit_batch(seen, batch)

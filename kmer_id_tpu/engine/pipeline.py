@@ -181,7 +181,14 @@ class SampleProcessor:
         from kmer_id_tpu.utils.timing import StageTimers
 
         self._inflight = deque()  # futures of the collector thread, FIFO
-        self.pipeline_depth = 4  # batches in flight hides dispatch latency
+        self.pipeline_depth = 4  # collector jobs in flight hides latency
+        # Grouped collection: the finals of collect_group batches are
+        # fetched in ONE device->host roundtrip (engines exposing
+        # collect_many; ~25 ms/fetch over the tunnel otherwise —
+        # tools/link_profile.py).  Long reads flush the group first so
+        # account order stays exactly read order.
+        self.collect_group = 4 if hasattr(clf, "collect_many") else 1
+        self._group: list = []  # [(pending, Batch)] awaiting a group job
         # One collector thread overlaps the per-batch device fetch (~35 ms
         # tunnel roundtrip — the single largest host-side cost) with the
         # main thread's decode+pack+submit.  Exactly one worker keeps the
@@ -271,37 +278,62 @@ class SampleProcessor:
             self._replay_verify(item)
             return
         if isinstance(item, LongRead):
+            self._flush_group()  # account order = read order
             self._inflight.append(self._collector.submit(self._long_job, item))
         else:
             self.seen, pending = self.clf.submit_batch(self.seen, item)
-            self._inflight.append(
-                self._collector.submit(self._batch_job, pending, item)
-            )
+            self._group.append((pending, item))
+            if len(self._group) >= self.collect_group:
+                self._flush_group()
         while len(self._inflight) > self.pipeline_depth:
             self._inflight.popleft().result()
+
+    def _flush_group(self) -> None:
+        if self._group:
+            grp, self._group = self._group, []
+            self._inflight.append(self._collector.submit(self._group_job, grp))
+
+    def _group_job(self, grp) -> None:
+        if len(grp) == 1 or not hasattr(self.clf, "collect_many"):
+            for pending, batch in grp:
+                self.seen_ovr, finals = self.clf.collect(self.seen_ovr, pending)
+                self._account_batch(finals[: batch.n_rows], batch.metas)
+            return
+        self.seen_ovr, finals_list = self.clf.collect_many(
+            self.seen_ovr, [p for p, _ in grp]
+        )
+        for (pending, batch), finals in zip(grp, finals_list):
+            self._account_batch(finals, batch.metas)
 
     def _long_job(self, item: LongRead) -> None:
         self.seen_ovr, final = self.clf.process_long(self.seen_ovr, item)
         self._account(int(final), item.meta)
-
-    def _batch_job(self, pending, batch: Batch) -> None:
-        self.seen_ovr, finals = self.clf.collect(self.seen_ovr, pending)
-        self._account_batch(finals[: batch.n_rows], batch.metas)
 
     def _consume_native(self, nb) -> None:
         if self._verify is not None:
             self._replay_verify(nb.batch)
             return
         batch = nb.batch
-        for r in nb.long_rows:
-            batch.lengths[r] = 0  # placeholder row: handled via long path below
-        self.seen, pending = self.clf.submit_batch(self.seen, batch)
-        self._inflight.append(self._collector.submit(self._drain_job, pending, nb))
+        if not nb.long_rows:
+            # plain native batch: joins the grouped-fetch lane
+            self.seen, pending = self.clf.submit_batch(self.seen, batch)
+            self._group.append((pending, batch))
+            if len(self._group) >= self.collect_group:
+                self._flush_group()
+        else:
+            for r in nb.long_rows:
+                batch.lengths[r] = 0  # placeholder row: long path below
+            self._flush_group()  # account order = read order
+            self.seen, pending = self.clf.submit_batch(self.seen, batch)
+            self._inflight.append(
+                self._collector.submit(self._drain_job, pending, nb)
+            )
         while len(self._inflight) > self.pipeline_depth:
             self._inflight.popleft().result()
 
     def _barrier(self) -> None:
         """Wait for every queued collector job (order/exception barrier)."""
+        self._flush_group()
         while self._inflight:
             self._inflight.popleft().result()
 

@@ -212,6 +212,90 @@ def fold_targets_interval(chain3: jax.Array, targets: jax.Array) -> jax.Array:
     return f
 
 
+def fold_targets_chain(
+    chain3: jax.Array,
+    targets: jax.Array,
+    ttin: jax.Array,
+    tout: jax.Array,
+) -> jax.Array:
+    """Ordered per-read msca fold — the slim scan used by the fp engine.
+
+    Semantically identical to :func:`fold_targets_interval` (tested equal) but
+    restructured again for the TPU cost model: that version carried the
+    running node's full ancestor chain ([B, D, 3]) through the scan and
+    pre-gathered every hit's chain ([B, P, D, 3]), paying ~3 large
+    jnp.where's + a take_along_axis per step.  Observation: the carried chain
+    is ALWAYS exactly ``chain3[f]`` — on adopt/descend it becomes the new
+    node's chain, on stay it is unchanged, and the LCA case truncates to the
+    LCA's own chain — so it never needs to be carried or truncated at all:
+    re-gather ``chain3[f]`` per step (8k rows from a <2 MB table, the fast
+    gather zone) and keep the carry to three [B] vectors.
+
+    A second structural saving: each hit's own (tin, tout) interval already
+    rides in the verify row the fp engine gathered (db/fpdb.py rec payload),
+    so callers pass them in and the [B, P, D, 3] pre-gather disappears.
+
+    Third — the one that actually pays (the scan is per-STEP latency-bound,
+    ~0.35 ms/step on the target chip regardless of per-step width): the trip
+    count is DYNAMIC, `max(last hit column) + 1` over the batch, via
+    lax.fori_loop.  Callers that only need some rows folded should zero the
+    other rows' targets (fp_finals zeroes consistent reads, whose fold
+    result is discarded anyway): hit lists are front-compacted, so typical
+    inconsistent batches scan 2-4 steps, not max_hits.
+
+    Args:
+      chain3: int32 [n, D, 3] from Taxonomy.chain_tables() — rows are
+        (node, tin, tout) per ancestor depth, (0, INT32_MAX, -1) past the
+        node's own depth.
+      targets: int32 [B, P] per-hit targets in window order, 0 = miss.
+      ttin / tout: int32 [B, P] the hits' Euler intervals (any value where
+        ``targets == 0``; those lanes are skipped).
+
+    Returns: int32 [B] final target (0 = unclassified).
+    """
+    b, p = targets.shape
+    n, d, _ = chain3.shape
+    sent = jnp.int32(2**31 - 1)
+    t = jnp.clip(targets, 0, n - 1)
+    ttin = ttin.astype(jnp.int32)
+    tout = tout.astype(jnp.int32)
+    # dynamic trip count: one past the last column holding any hit
+    colmax = jnp.max(
+        (t > 0) * (jax.lax.broadcasted_iota(jnp.int32, (b, p), 1) + 1)
+    )
+
+    def body(i, carry):
+        f, ftin, ftout = carry
+        tcol = jax.lax.dynamic_slice_in_dim(t, i, 1, axis=1)[:, 0]
+        tin_c = jax.lax.dynamic_slice_in_dim(ttin, i, 1, axis=1)[:, 0]
+        tout_c = jax.lax.dynamic_slice_in_dim(tout, i, 1, axis=1)[:, 0]
+        has = tcol > 0
+        fnone = f == 0
+        descend = (ftin <= tin_c) & (tin_c <= ftout)
+        stay = (tin_c <= ftin) & (ftin <= tout_c)
+        chainF = jnp.take(chain3, f, axis=0)  # [B, D, 3] fast-zone gather
+        q = (chainF[:, :, 1] <= tin_c[:, None]) & (tin_c[:, None] <= chainF[:, :, 2])
+        jstar = jnp.maximum(q.sum(axis=1) - 1, 0)
+        lca = jnp.take_along_axis(chainF, jstar[:, None, None], axis=1)[:, 0, :]
+        nf = jnp.where(descend, tcol, jnp.where(stay, f, lca[:, 0]))
+        nftin = jnp.where(descend, tin_c, jnp.where(stay, ftin, lca[:, 1]))
+        nftout = jnp.where(descend, tout_c, jnp.where(stay, ftout, lca[:, 2]))
+        adopt = has & fnone
+        use = has & ~fnone
+        f = jnp.where(adopt, tcol, jnp.where(use, nf, f))
+        ftin = jnp.where(adopt, tin_c, jnp.where(use, nftin, ftin))
+        ftout = jnp.where(adopt, tout_c, jnp.where(use, nftout, ftout))
+        return (f, ftin, ftout)
+
+    init = (
+        jnp.zeros((b,), jnp.int32),
+        jnp.full((b,), sent),
+        jnp.full((b,), -1, jnp.int32),
+    )
+    f, _, _ = jax.lax.fori_loop(0, colmax, body, init)
+    return f
+
+
 def fold_targets(
     anc: jax.Array,
     depth: jax.Array,

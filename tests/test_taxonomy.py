@@ -86,3 +86,42 @@ def test_fold_targets_interval_matches_fold_targets():
             fold_targets_interval(jnp.asarray(chain3), jnp.asarray(targets))
         )
         assert (got == want).all(), (trial, np.nonzero(got != want))
+
+
+def test_fold_targets_chain_matches_fold_targets():
+    """The slim chain fold (ops/fold.fold_targets_chain, the fp engine's
+    inconsistent branch) must equal the reference-semantics scan fold on
+    random trees and hit planes, with (tin, tout) supplied per hit the way
+    the verify rows supply them (garbage on miss lanes)."""
+    import jax.numpy as jnp
+
+    from kmer_id_tpu.core.taxonomy import Taxonomy
+    from kmer_id_tpu.ops.fold import fold_targets, fold_targets_chain
+
+    rng = np.random.default_rng(23)
+    for trial in range(6):
+        n = int(rng.integers(6, 60))
+        parent = np.full(n, 1, dtype=np.int32)
+        for t in range(2, n):
+            parent[t] = int(rng.integers(1, t))
+        tax = Taxonomy(parent)
+        chain3, _ = tax.chain_tables()
+        b, p = 40, int(rng.integers(2, 12))
+        targets = rng.integers(0, n, size=(b, p)).astype(np.int32)
+        targets[rng.random((b, p)) < 0.5] = 0
+        targets[targets == 1] = 0
+        tin = tax.tin[targets].astype(np.int32)
+        tout = tax.tout[targets].astype(np.int32)
+        # miss lanes carry garbage intervals, as rec rows do for holes
+        garbage = targets == 0
+        tin[garbage] = rng.integers(0, 1 << 20, size=int(garbage.sum()))
+        tout[garbage] = rng.integers(0, 1 << 20, size=int(garbage.sum()))
+        want = np.asarray(
+            fold_targets(jnp.asarray(tax.anc), jnp.asarray(tax.depth),
+                         jnp.asarray(targets))
+        )
+        got = np.asarray(
+            fold_targets_chain(jnp.asarray(chain3), jnp.asarray(targets),
+                               jnp.asarray(tin), jnp.asarray(tout))
+        )
+        assert (got == want).all(), (trial, np.nonzero(got != want))

