@@ -11,8 +11,9 @@ Layer map (mirrors SURVEY.md §1, reimagined TPU-first):
 * ``core``    — genomic bit-ops (2-bit codec, canonical k-mers), taxonomy
                 (vectorized MSCA via ancestor-at-depth tables), quality trim.
 * ``ops``     — device kernels: k-mer extraction, fingerprint candidate
-                lookup, sorted two-word binary-search lookup, ordered MSCA
-                fold.
+                lookup, rank-compaction candidate selection (Pallas TPU
+                kernel with a fused-jnp fallback, ops/compact.py), sorted
+                two-word binary-search lookup, ordered MSCA fold.
 * ``db``      — probe database: text format parity, packed sorted artifact,
                 sort-based builder (pass1 CA-merge / pass2 outgroup subtraction
                 / pass3 gated emission with entropy filter).

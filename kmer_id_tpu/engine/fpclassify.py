@@ -70,43 +70,104 @@ def unpack_codes(packed: jax.Array, exc: jax.Array, l: int) -> jax.Array:
     return flat.reshape(b, l)
 
 
-def _compact_verify(db, ex, max_hits: int):
-    """Shared candidate-compaction + verify stage of the summary/finals paths.
+FAST_HITS = 8  # two-tier verify: the fast tier's candidate budget
 
-    Compacts the <=3P fingerprint candidates of each read into window order
-    (two-operand stable sort: key = window position, payload = slot id) and
-    verifies the first ``max_hits`` against the full 60-bit keys in ``rec``.
-    Measured alternatives on the target chip (tools/kernel_profile.py), all
-    slower IN CONTEXT than this sort: rank-compaction scatter ~5x (XLA
-    scatters cost ~40 ns/element here); single-operand column-index sort
-    with take_along_axis payload recovery +7%; lax.top_k + payload gather
-    +2.5 ms (top_k alone benches faster than the sort, but the recovered
-    payload fuses worse with the verify stage downstream).  Returns a dict
-    of per-read tensors consumed by fp_summary / fp_finals.
-    """
-    hi, lo, valid = ex["hi"], ex["lo"], ex["valid"]
+
+def _cv_tier(db, hi, lo, cand_ilv, valid_ilv, pos_ilv, mh: int, out_mh: int,
+             impl, seen):
+    """One compaction+verify tier: compact to ``mh`` candidates, verify
+    against rec, gather slot targets, and (finals path, ``seen`` not None)
+    scatter the verified slots into the seen bitmap — ALL sized [B, mh], so
+    the fast tier's gather/scatter lane counts stay small.  Outputs are
+    padded to ``out_mh`` columns (pads are unverified holes,
+    indistinguishable from rejected candidates downstream).  ``impl`` is an
+    ops/compact formulation."""
     b, p = hi.shape
-    rec = db["rec"]
-    planes = fp_candidates(db, hi, lo, valid)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (b, p), 1)
-    sent = jnp.int32(np.int32(2**31 - 1))
-    keys = jnp.concatenate([jnp.where(v, pos, sent) for _, v in planes], axis=1)
-    payload = jnp.concatenate([c for c, _ in planes], axis=1)
-    pos32, cand32 = jax.lax.sort(
-        (keys, payload), dimension=1, num_keys=1, is_stable=True
-    )
-    pos32 = pos32[:, :max_hits]
-    cand32 = cand32[:, :max_hits]
+    pos32, cand32, _ = impl(cand_ilv, valid_ilv, pos_ilv, mh)
     has = pos32 < p
     pc = jnp.minimum(pos32, p - 1)
-    ncand = sum(v.sum(axis=1) for _, v in planes).astype(jnp.int32)
     qhi = jnp.take_along_axis(hi, pc, axis=1)
     qlo = jnp.take_along_axis(lo, pc, axis=1)
-    rows = jnp.take(rec, cand32.reshape(-1), axis=0).reshape(b, max_hits, 4)
+    rows = jnp.take(db["rec"], cand32.reshape(-1), axis=0).reshape(b, mh, 4)
     ver = has & (rows[..., 0] == qhi) & (rows[..., 1] == qlo)
     tin = rows[..., 2].astype(jnp.int32)
     tout = (rows[..., 3] & jnp.uint32(0xFFFFFF)).astype(jnp.int32)
     depth = (rows[..., 3] >> 24).astype(jnp.int32)
+    t = jnp.where(
+        ver,
+        jnp.take(db["slot_target"], cand32.reshape(-1)).reshape(b, mh),
+        0,
+    )
+    if seen is not None:
+        # every verified slot is a true hit: mark seen (idempotent
+        # scatter-max; overflow reads' tail hits come from the host replay)
+        sc = jnp.where(ver, cand32, 0)
+        sv = jnp.where(ver, jnp.int8(1), jnp.int8(0))
+        seen = seen.at[sc.reshape(-1)].max(
+            sv.reshape(-1), mode="promise_in_bounds"
+        )
+    if mh < out_mh:
+        pad = ((0, 0), (0, out_mh - mh))
+        cand32 = jnp.pad(cand32, pad)
+        ver = jnp.pad(ver, pad)
+        tin = jnp.pad(tin, pad)
+        tout = jnp.pad(tout, pad)
+        depth = jnp.pad(depth, pad)
+        t = jnp.pad(t, pad)
+    out = (cand32, ver, tin, tout, depth, t)
+    return out if seen is None else (out, seen)
+
+
+def _compact_verify(db, ex, max_hits: int, seen=None):
+    """Shared candidate-compaction + verify stage of the summary/finals paths.
+
+    Compacts the <=3P fingerprint candidates of each read into window order
+    (rank compaction, ops/compact.py: cumsum assigns output ranks, masked
+    reductions select the rank-j candidate — Pallas kernel on TPU, fused jnp
+    reductions elsewhere) and verifies them against the full 60-bit keys in
+    ``rec``.
+
+    **Two-tier verify**: the verify/slot-target gathers and the compaction
+    passes all scale with the candidate budget, and real reads carry <= ~5
+    candidates (probes are >= 31 bases apart per genome; fingerprint flukes
+    add ~24/2^16 per window) — so the hot tier compacts/verifies only
+    ``FAST_HITS`` candidates, and a batch-level ``lax.cond`` reruns the full
+    ``max_hits`` tier (two-operand sort — cheapest formulation at width 32
+    on the target chip, tools/kernel_profile.py) only when any read's
+    candidate count exceeds the fast budget.  Exactness is unconditional:
+    the tier taken always covers every candidate of every read, and beyond
+    ``max_hits`` the existing overflow flag triggers the host's per-window
+    replay.  Returns a dict of per-read tensors consumed by
+    fp_summary / fp_finals.
+    """
+    from kmer_id_tpu.ops.compact import (
+        compact_auto,
+        compact_sort,
+        interleave_planes,
+    )
+
+    hi, lo, valid = ex["hi"], ex["lo"], ex["valid"]
+    b, p = hi.shape
+    planes = fp_candidates(db, hi, lo, valid)
+    cand_ilv, valid_ilv = interleave_planes(planes)
+    k = len(planes)
+    pos_ilv = jax.lax.broadcasted_iota(
+        jnp.int32, (1, cand_ilv.shape[1]), 1
+    ) // k
+    ncand = valid_ilv.sum(axis=1).astype(jnp.int32)
+    args = (db, hi, lo, cand_ilv, valid_ilv, pos_ilv)
+    if max_hits > FAST_HITS:
+        res = jax.lax.cond(
+            jnp.max(ncand) > FAST_HITS,
+            lambda: _cv_tier(*args, max_hits, max_hits, compact_sort, seen),
+            lambda: _cv_tier(*args, FAST_HITS, max_hits, compact_auto, seen),
+        )
+    else:
+        res = _cv_tier(*args, max_hits, max_hits, compact_auto, seen)
+    if seen is None:
+        cand32, ver, tin, tout, depth, t = res
+    else:
+        (cand32, ver, tin, tout, depth, t), seen = res
     nh = ver.sum(axis=1).astype(jnp.int32)
     dkey = jnp.where(ver, depth, -1)
     j = jnp.argmax(dkey, axis=1)
@@ -115,11 +176,12 @@ def _compact_verify(db, ex, max_hits: int):
     ok = ~ver | ((tin <= dtin[:, None]) & (dtin[:, None] <= tout))
     consistent = jnp.all(ok, axis=1)
     overflow = ncand > max_hits
-    return {
+    out = {
         "cand": cand32, "ver": ver, "nh": nh, "deepest": deepest,
         "consistent": consistent, "overflow": overflow,
-        "tin": tin, "tout": tout,
+        "tin": tin, "tout": tout, "t": t,
     }
+    return out if seen is None else (out, seen)
 
 
 def fp_summary(db, ex, max_hits: int):
@@ -173,16 +235,9 @@ def fp_finals(db, ex, seen, max_hits: int):
     Returns (finals int32 [B], seen int8 [n_slots]).
     """
     b = ex["hi"].shape[0]
-    cv = _compact_verify(db, ex, max_hits)
-    cand32, ver, nh = cv["cand"], cv["ver"], cv["nh"]
+    cv, seen = _compact_verify(db, ex, max_hits, seen)
+    nh = cv["nh"]
     deepest, consistent, overflow = cv["deepest"], cv["consistent"], cv["overflow"]
-
-    # every verified slot is a true hit: mark seen (idempotent scatter-max;
-    # overflow reads' tail hits are added by the host replay)
-    st = db["slot_target"]
-    sc = jnp.where(ver, cand32, 0)
-    sv = jnp.where(ver, jnp.int8(1), jnp.int8(0))
-    seen = seen.at[sc.reshape(-1)].max(sv.reshape(-1), mode="promise_in_bounds")
 
     # final call: consistent reads take the deepest hit's target; the rest get
     # the exact window-ordered msca fold (holes/misses are 0 and are skipped).
@@ -190,10 +245,12 @@ def fp_finals(db, ex, seen, max_hits: int):
     # consistent (probes are >= 31 bases apart per genome), so the scan is
     # usually skipped entirely at runtime.  fold_targets_chain reads each
     # hit's (tin, tout) straight from the verify rows — no chain pre-gather.
+    # (The seen scatter and the slot->target gather ride inside the verify
+    # tier, sized to its candidate budget; see _cv_tier.)
     from kmer_id_tpu.ops.fold import fold_targets_chain
 
-    t = jnp.where(ver, jnp.take(st, cand32.reshape(-1)).reshape(b, max_hits), 0)
-    dtgt = jnp.take(st, deepest)
+    t = cv["t"]
+    dtgt = jnp.take(db["slot_target"], deepest)
     need_fold = jnp.any(~consistent & (nh > 0))
     # consistent rows' fold results are discarded below — zero their hits so
     # the fold's dynamic trip count tracks only the inconsistent rows
@@ -290,6 +347,11 @@ class FpClassifier:
         self.num_targ = db.num_targ
         f = fpdb if fpdb is not None else build_fpdb(db, taxonomy)
         self.fpdb = f
+        # resolve the compaction formulation (Pallas probe) OUTSIDE any jit
+        # trace, so compact_auto just reads the cached flag at trace time
+        from kmer_id_tpu.ops.compact import pallas_available
+
+        pallas_available()
         self.slot_target = f.slot_target
         self.slot_idx = f.slot_idx
         self.n_probes = len(db)

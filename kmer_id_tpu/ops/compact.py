@@ -1,0 +1,213 @@
+"""Candidate compaction: first-``max_hits`` selection in window order.
+
+The fp engine's candidate stage (ops/lookup.fp_candidates) yields up to three
+sparse candidate planes per batch ([B, P] slot ids + validity).  The verify
+stage only needs the first ``max_hits`` candidates of each read **in window
+order** (ascending window position; ties across planes in plane order — the
+order the reference's per-window loop would discover them,
+``newkmer_10nx.cpp:529-603``).
+
+The round-2 implementation was a two-operand ``jax.lax.sort`` over the
+[B, 3P] interleaved plane (~7 ms/batch at bench scale — the sort network
+materializes every round in HBM).  This module replaces it with
+**rank compaction**: one cumulative-sum pass assigns each valid candidate its
+output rank, then ``max_hits`` masked reductions select the rank-j candidate
+of every row.  Selection is pure elementwise compare/select/add — no sort
+network, no scatter — and two formulations are provided:
+
+* :func:`compact_ranks` — jnp; XLA fuses each rank-j pass into a single
+  compare+select+reduce kernel (used on CPU and as the fallback).
+* :func:`compact_ranks_pallas` — a Pallas TPU kernel: the [R, C] tile loads
+  into VMEM **once** and the whole rank loop runs on-chip, so HBM traffic
+  drops from max_hits passes to one (plus the tiny outputs).
+
+Both return identical values (tests/test_compact.py asserts bit-equality
+against each other and the reference sort formulation).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_SENT = 2**31 - 1
+
+
+def interleave_planes(planes):
+    """[(cand, valid)] * K -> (cand_ilv, valid_ilv) int32/bool [B, K*P].
+
+    Column j = K*p + k holds plane k's candidate for window p, so ascending
+    j is ascending (window, plane) — the reference discovery order (equal to
+    the round-2 stable sort by window position over plane-major concat).
+    """
+    cand = jnp.stack([c for c, _ in planes], axis=2)
+    valid = jnp.stack([v for _, v in planes], axis=2)
+    b, p, k = cand.shape
+    return cand.reshape(b, p * k), valid.reshape(b, p * k)
+
+
+def compact_ranks(cand_ilv, valid_ilv, pos_ilv, max_hits: int):
+    """Rank-compaction, jnp formulation.
+
+    Args:
+      cand_ilv: int32 [B, C] candidate payloads.
+      valid_ilv: bool [B, C].
+      pos_ilv: int32 [B, C] window position of each column (broadcastable).
+    Returns:
+      (pos32, cand32, ncand): int32 [B, max_hits] window positions
+      (``_SENT`` pad past the last candidate), int32 [B, max_hits] payloads
+      (0 pad), int32 [B] total candidate count (may exceed max_hits).
+    """
+    rank = jnp.cumsum(valid_ilv.astype(jnp.int32), axis=1)
+    ncand = rank[:, -1]
+    # mask rank to 0 on invalid columns so == j+1 tests hit only valid ones
+    rankv = jnp.where(valid_ilv, rank, 0)
+    cols = []
+    for j in range(max_hits):
+        m = rankv == (j + 1)
+        cols.append(
+            (
+                jnp.sum(jnp.where(m, pos_ilv, 0), axis=1),
+                jnp.sum(jnp.where(m, cand_ilv, 0), axis=1),
+            )
+        )
+    pos32 = jnp.stack([p for p, _ in cols], axis=1)
+    cand32 = jnp.stack([c for _, c in cols], axis=1)
+    has = jax.lax.broadcasted_iota(jnp.int32, pos32.shape, 1) < ncand[:, None]
+    pos32 = jnp.where(has, pos32, jnp.int32(_SENT))
+    return pos32, cand32, ncand
+
+
+def _compact_kernel(cand_ref, rankv_ref, pos_ref, pos_out, cand_out, n_out,
+                    *, max_hits: int):
+    """Pallas body: one [R, C] tile; the rank-j selection loop runs from VMEM."""
+    rankv = rankv_ref[:]
+    cand = cand_ref[:]
+    pos = pos_ref[:]
+    n_out[:] = jnp.max(rankv, axis=1, keepdims=True)
+    for j in range(max_hits):
+        m = rankv == (j + 1)
+        pos_out[:, j] = jnp.sum(jnp.where(m, pos, 0), axis=1)
+        cand_out[:, j] = jnp.sum(jnp.where(m, cand, 0), axis=1)
+
+
+def compact_ranks_pallas(cand_ilv, valid_ilv, pos_ilv, max_hits: int,
+                         rows_per_tile: int = 512, interpret: bool = False):
+    """Rank-compaction as a Pallas TPU kernel (see module doc).
+
+    The cumulative sum stays in XLA (one fused pass); the max_hits selection
+    passes — the HBM-traffic multiplier in the jnp formulation — run in a
+    single Pallas kernel whose [R, C] tile is resident in VMEM.  Pass
+    ``interpret=True`` on CPU (tests do; engine code calls the jnp variant
+    off-TPU).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, c0 = cand_ilv.shape
+    rank = jnp.cumsum(valid_ilv.astype(jnp.int32), axis=1)
+    rankv = jnp.where(valid_ilv, rank, 0)
+    pos = jnp.broadcast_to(pos_ilv, (b, c0)).astype(jnp.int32)
+    # pad the column dim to the 128-lane boundary (padded rankv columns are 0
+    # and never match a rank)
+    c = -(-c0 // 128) * 128
+    if c != c0:
+        cand_ilv = jnp.pad(cand_ilv, ((0, 0), (0, c - c0)))
+        rankv = jnp.pad(rankv, ((0, 0), (0, c - c0)))
+        pos = jnp.pad(pos, ((0, 0), (0, c - c0)))
+    r = min(rows_per_tile, b)
+    grid = (pl.cdiv(b, r),)
+    in_spec = pl.BlockSpec((r, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    pos32, cand32, n2 = pl.pallas_call(
+        functools.partial(_compact_kernel, max_hits=max_hits),
+        grid=grid,
+        in_specs=[in_spec, in_spec, in_spec],
+        out_specs=(
+            pl.BlockSpec((r, max_hits), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, max_hits), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, max_hits), jnp.int32),
+            jax.ShapeDtypeStruct((b, max_hits), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(cand_ilv.astype(jnp.int32), rankv, pos)
+    ncand = n2[:, 0]
+    has = jax.lax.broadcasted_iota(jnp.int32, pos32.shape, 1) < ncand[:, None]
+    pos32 = jnp.where(has, pos32, jnp.int32(_SENT))
+    return pos32, cand32, ncand
+
+
+def compact_sort(cand_ilv, valid_ilv, pos_ilv, max_hits: int):
+    """The round-2 two-operand-sort formulation (kept as the oracle for
+    tests and for profiling comparisons; engine code no longer calls it)."""
+    b, c = cand_ilv.shape
+    # ascending interleaved column index IS (window, plane) order
+    keys = jnp.where(
+        valid_ilv,
+        jax.lax.broadcasted_iota(jnp.int32, (b, c), 1),
+        jnp.int32(_SENT),
+    )
+    posb = jnp.broadcast_to(pos_ilv, (b, c)).astype(jnp.int32)
+    k, cand32, posx = jax.lax.sort(
+        (keys, cand_ilv.astype(jnp.int32), posb), dimension=1, num_keys=1,
+        is_stable=True,
+    )
+    k = k[:, :max_hits]
+    cand32 = cand32[:, :max_hits]
+    pos32 = jnp.where(k < _SENT, posx[:, :max_hits], jnp.int32(_SENT))
+    ncand = valid_ilv.sum(axis=1).astype(jnp.int32)
+    return pos32, cand32, ncand
+
+
+# ------------------------------------------------------------- dispatcher
+
+_PALLAS_OK: bool | None = None
+
+
+def pallas_available() -> bool:
+    """True when compact_ranks_pallas compiles + runs on the default backend.
+
+    Probed once with a tiny fixture (some TPU transports expose nonstandard
+    platform names, so we try rather than sniff); any failure disables the
+    Pallas path for the process and the jnp formulation is used instead.
+    """
+    global _PALLAS_OK
+    if _PALLAS_OK is None:
+        try:
+            if jax.default_backend() == "cpu":
+                _PALLAS_OK = False
+            else:
+                c = jnp.arange(8 * 128, dtype=jnp.int32).reshape(8, 128)
+                v = (c & 7) == 0
+                p = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+                got = compact_ranks_pallas(c, v, p, 4)
+                want = compact_ranks(c, v, p, 4)
+                _PALLAS_OK = all(
+                    np.array_equal(np.asarray(a), np.asarray(b))
+                    for a, b in zip(got, want)
+                )
+        except Exception:
+            _PALLAS_OK = False
+    return _PALLAS_OK
+
+
+def compact_auto(cand_ilv, valid_ilv, pos_ilv, max_hits: int):
+    """Engine entry point: formulation picked by KMER_COMPACT (sort | reduce |
+    pallas | auto).  ``auto`` = Pallas when it probes OK, else jnp reductions.
+    Resolved at trace time — callers jit over this, so the choice is baked
+    into the compiled kernel."""
+    impl = os.environ.get("KMER_COMPACT", "auto")
+    if impl == "auto":
+        impl = "pallas" if pallas_available() else "reduce"
+    if impl == "pallas":
+        return compact_ranks_pallas(cand_ilv, valid_ilv, pos_ilv, max_hits)
+    if impl == "sort":
+        return compact_sort(cand_ilv, valid_ilv, pos_ilv, max_hits)
+    return compact_ranks(cand_ilv, valid_ilv, pos_ilv, max_hits)

@@ -50,6 +50,7 @@ from kmer_id_tpu.db.fpdb import FpDB, SLOTS, build_fpdb
 from kmer_id_tpu.db.probes import PackedDB
 from kmer_id_tpu.engine.classify import fold_host
 from kmer_id_tpu.io.batch import Batch, LongRead
+from kmer_id_tpu.ops.compact import compact_auto, interleave_planes
 from kmer_id_tpu.ops.extract import extract_kmers
 from kmer_id_tpu.ops.fold import fold_targets_interval
 from kmer_id_tpu.ops.lookup import _fp_bucket_match, fp_hashes_jnp
@@ -194,14 +195,11 @@ class ShardedFpClassifier:
                 (nbloc * SLOTS + c1 * SLOTS + i2, m2 & valid & own2),
                 (nbloc * SLOTS + c2 * SLOTS + i3, m3 & valid & own2 & (c2 != c1)),
             ]
-            pos = jax.lax.broadcasted_iota(jnp.int32, (rows, p), 1)
-            keys = jnp.concatenate([jnp.where(v, pos, sent) for _, v in planes], 1)
-            payload = jnp.concatenate([c for c, _ in planes], 1)
-            posk, cand = jax.lax.sort(
-                (keys, payload), dimension=1, num_keys=1, is_stable=True
-            )
-            posk = posk[:, :mh]
-            cand = cand[:, :mh]
+            cand_ilv, valid_ilv = interleave_planes(planes)
+            posi = jax.lax.broadcasted_iota(
+                jnp.int32, (1, cand_ilv.shape[1]), 1
+            ) // len(planes)
+            posk, cand, ncand = compact_auto(cand_ilv, valid_ilv, posi, mh)
             has = posk < p
             pc = jnp.minimum(posk, p - 1)
             qhi = jnp.take_along_axis(hi, pc, axis=1)
@@ -213,7 +211,6 @@ class ShardedFpClassifier:
             )
             tin = jnp.where(ver, rrows[..., 2].astype(jnp.int32), 0)
             td = jnp.where(ver, rrows[..., 3].astype(jnp.int32), 0)
-            ncand = sum(v.sum(axis=1) for _, v in planes)
             lov = ncand > mh
             posk = jnp.where(ver, posk, sent)  # only true hits travel
             return posk, cand, tgt, tin, td, ver, lov

@@ -144,6 +144,33 @@ def test_fp_engine_overflow_reads(world):
     assert res.ucount.tolist() == sim.ucount
 
 
+def test_fp_engine_two_tier_boundary(world):
+    """A read whose candidate count lands between FAST_HITS and max_hits
+    flips the batch-level cond to the full-width tier (engine/fpclassify.py
+    _compact_verify); results must match the reference simulator exactly,
+    and an all-small batch (fast tier) must too."""
+    rec, kmap, parent, tax, packed = world
+    keys = list(kmap)
+    for with_big in (False, True):
+        records = make_reads(kmap, n=30, read_len=90)
+        if with_big:
+            # ~12 back-to-back probe 30-mers: > FAST_HITS=8, <= max_hits=32
+            seq = "".join(
+                codec.key_to_string(keys[int(rng.integers(len(keys)))])
+                for _ in range(12)
+            )
+            records.insert(3, ("big", seq, None))
+        sim = RefSim(kmap, parent, num_targ=8, u_is_t=False)
+        sim.feed(records)
+        cfg = ClassifyConfig.preset("nx", num_targ=8, batch_size=32, max_len=384)
+        clf = FpClassifier(packed, tax, batch_size=32, max_len=384, max_hits=32)
+        sp = SampleProcessor(clf, cfg)
+        sp.feed(records)
+        res = sp.finish()
+        assert res.gcount.tolist() == sim.gcount, f"with_big={with_big}"
+        assert res.ucount.tolist() == sim.ucount, f"with_big={with_big}"
+
+
 def test_fp_engine_beyond_legacy_slot_cap():
     """Production-scale guard: a DB whose slot table exceeds 2^22 slots (the
     round-1 int32 packing cap) classifies correctly on the flagship path.

@@ -224,6 +224,42 @@ def main():
             cand32 = jnp.take_along_axis(payload, idx, axis=1)
             return cand32.sum() + (-negv).sum()
 
+        # ---- compaction formulations in context (ops/compact.py)
+        from kmer_id_tpu.ops import compact as OC
+
+        def _cv_with(impl_fn, mh):
+            def f(d, c):
+                ex = extract_kmers(c, lengths)
+                hi, lo, valid = ex["hi"], ex["lo"], ex["valid"]
+                planes = fp_candidates(d, hi, lo, valid)
+                cand_ilv, valid_ilv = OC.interleave_planes(planes)
+                posi = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, cand_ilv.shape[1]), 1
+                ) // len(planes)
+                pos32, cand32, ncand = impl_fn(cand_ilv, valid_ilv, posi, mh)
+                bb, pp = hi.shape
+                has = pos32 < pp
+                pc = jnp.minimum(pos32, pp - 1)
+                qhi = jnp.take_along_axis(hi, pc, axis=1)
+                qlo = jnp.take_along_axis(lo, pc, axis=1)
+                rows = jnp.take(d["rec"], cand32.reshape(-1), axis=0).reshape(bb, mh, 4)
+                ver = has & (rows[..., 0] == qhi) & (rows[..., 1] == qlo)
+                return ver.sum().astype(jnp.int32) + ncand.sum()
+            return f
+
+        for mh in (clf.max_hits, 8):
+            for nm, fn in (
+                ("sort", OC.compact_sort),
+                ("reduce", OC.compact_ranks),
+                ("pallas", OC.compact_ranks_pallas),
+            ):
+                if nm == "pallas" and not OC.pallas_available():
+                    continue
+                results[f"{label}/+cv_{nm}_mh{mh}"] = timed(
+                    f"+ compact[{nm}] mh={mh} + verify",
+                    loop(_cv_with(fn, mh)), args.iters,
+                )
+
         results[f"{label}/extract"] = timed("extract", loop(ex_only), args.iters)
         results[f"{label}/+candidates"] = timed("+ fp candidates (L1+L2 gathers)", loop(cand), args.iters)
         results[f"{label}/+cand_l2mask"] = timed("+ candidates, L2 indices masked", loop(cand_l2mask), args.iters)
