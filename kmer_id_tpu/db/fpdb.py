@@ -43,6 +43,18 @@ import numpy as np
 
 SLOTS = 8
 EMPTY_HI = np.uint32(0xFFFFFFFF)  # real key hi < 2^28
+# Block-Bloom pre-filter sizing.  The L1 gather is the kernel's dominant cost
+# and its table (~16 B/key at load 0.35) cannot fit the chip's fast gather
+# zone (tables <= ~33 MB gather ~2x faster than larger ones — measured curve
+# in PERF.md).  A 128-bit-block Bloom filter CAN: ~16 keys/block x 2 bits
+# gives a ~5% false-pass rate, so the big L1 gather runs over <= BLOOM_K
+# compacted windows per read instead of every window.  Blocks are one 16 B
+# row (the fastest gather row format) and the block count is capped at the
+# fast-zone boundary; DBs too large for that budget (> ~33M keys/chip) skip
+# the filter — at that scale the DB should be sharded across chips, where
+# each shard's filter fits again (parallel/fpsharded.py).
+BLOOM_KEYS_PER_BLOCK = 16
+BLOOM_MAX_BLOCKS = 1 << 21  # 2^21 blocks * 16 B = 33.5 MB
 # L1 bucket-count target: nb1 is snapped to a power of two, so the realized
 # load is in (MAX_LOAD_L1/2, MAX_LOAD_L1].  At 0.35 the single-choice
 # overflow fraction stays ~0.3% (Poisson tail past 8 slots + per-bucket
@@ -77,6 +89,43 @@ def fp_hashes(hi: np.ndarray, lo: np.ndarray, nb: int, s1: int, s2: int, s3: int
     return b1.astype(np.int64), b2.astype(np.int64), fp
 
 
+def bloom_hashes(hi: np.ndarray, lo: np.ndarray, nblk: int, s4: int, s5: int):
+    """(block, bit1, bit2) for the 128-bit-block Bloom filter — numpy mirror
+    of ops/lookup.bloom_hashes_jnp (kept bit-identical by tests).  Reuses the
+    L2 salts with distinct xor constants, so no new salt state is needed."""
+    hi = np.asarray(hi, dtype=np.uint32)
+    lo = np.asarray(lo, dtype=np.uint32)
+    blk = (_mix32(hi ^ np.uint32(0x243F6A88), lo, s4, s5) & np.uint32(nblk - 1)).astype(np.int64)
+    m = _mix32(lo ^ np.uint32(0xB7E15162), hi, s5, s4)
+    bit1 = (m & np.uint32(127)).astype(np.int64)
+    bit2 = ((m >> np.uint32(7)) & np.uint32(127)).astype(np.int64)
+    return blk, bit1, bit2
+
+
+def bloom_blocks_for(n_keys: int) -> int | None:
+    """Block count for an n-key filter, or None when the filter would exceed
+    the fast gather zone (the pre-filter then costs as much as it saves)."""
+    if n_keys <= 0:
+        return None
+    nblk = 1 << max(10, int(np.ceil(np.log2(n_keys / BLOOM_KEYS_PER_BLOCK))))
+    return nblk if nblk <= BLOOM_MAX_BLOCKS else None
+
+
+def build_bloom(hi: np.ndarray, lo: np.ndarray, s4: int, s5: int) -> np.ndarray | None:
+    """uint32 [nblk, 4] block-Bloom table with both bits of every key set
+    (no false negatives by construction; tests/test_fp_engine.py asserts)."""
+    nblk = bloom_blocks_for(len(hi))
+    if nblk is None:
+        return None
+    blk, bit1, bit2 = bloom_hashes(hi, lo, nblk, s4, s5)
+    words = np.zeros(nblk * 4, dtype=np.uint32)
+    for bit in (bit1, bit2):
+        np.bitwise_or.at(
+            words, blk * 4 + (bit >> 5), np.uint32(1) << (bit & 31).astype(np.uint32)
+        )
+    return words.reshape(nblk, 4)
+
+
 def _pack_fptab(slot_fp: np.ndarray, nb: int) -> np.ndarray:
     """u16 fp per slot -> [nb, 4] u32 rows; slot s of bucket b lives at word
     (s & 3), u16 half (s >> 2), so the device's match index (half*4 + word)
@@ -103,6 +152,8 @@ class FpDB:
     s5: int
     slot_target: np.ndarray  # int32 [(nb1+nb2)*8]; 0 for empty slots
     slot_idx: np.ndarray  # int32 [(nb1+nb2)*8]; index into the sorted packed arrays, -1 empty
+    bloom: np.ndarray | None = None  # uint32 [nblk, 4] block-Bloom pre-filter (None when
+    # the DB exceeds the fast-zone budget; see bloom_blocks_for)
 
     @property
     def n_slots(self) -> int:
@@ -208,6 +259,7 @@ def build_fpdb(packed, taxonomy, load: float = MAX_LOAD_L1) -> FpDB:
             rec=rec, nb=nb1, nb2=nb2,
             s1=s1, s2=s2, s3=s3, s4=s4, s5=s5,
             slot_target=slot_target, slot_idx=slot_idx,
+            bloom=build_bloom(hi, lo, s4, s5),
         )
     raise RuntimeError("fpdb build failed to converge after 6 salt attempts")
 
@@ -332,6 +384,8 @@ def save_fpdb(db: FpDB, out_dir) -> None:
     np.save(os.path.join(out_dir, "rec.npy"), db.rec)
     np.save(os.path.join(out_dir, "slot_target.npy"), db.slot_target)
     np.save(os.path.join(out_dir, "slot_idx.npy"), db.slot_idx)
+    if db.bloom is not None:
+        np.save(os.path.join(out_dir, "bloom.npy"), db.bloom)
     with open(os.path.join(out_dir, "fp_manifest.json"), "w") as f:
         json.dump(
             {
@@ -359,13 +413,27 @@ def load_fpdb(in_dir, mmap: bool = True) -> FpDB | None:
     def arr(name):
         return np.load(os.path.join(in_dir, f"{name}.npy"), mmap_mode=mode)
 
+    bpath = os.path.join(in_dir, "bloom.npy")
+    rec = arr("rec")
+    if os.path.exists(bpath):
+        bloom = np.load(bpath, mmap_mode=mode)
+    else:
+        # older cache: derive from the occupied rec rows and persist
+        occ = rec[:, 0] != EMPTY_HI
+        bloom = build_bloom(rec[occ, 0], rec[occ, 1], int(m["s4"]), int(m["s5"]))
+        if bloom is not None:
+            try:
+                np.save(bpath, bloom)
+            except OSError:
+                pass  # read-only cache dir: keep the in-memory filter
     return FpDB(
-        fptab=arr("fptab"), fptab2=arr("fptab2"), rec=arr("rec"),
+        fptab=arr("fptab"), fptab2=arr("fptab2"), rec=rec,
         nb=int(m["nb"]), nb2=int(m["nb2"]),
         s1=int(m["s1"]), s2=int(m["s2"]), s3=int(m["s3"]),
         s4=int(m["s4"]), s5=int(m["s5"]),
         slot_target=np.asarray(arr("slot_target")),
         slot_idx=np.asarray(arr("slot_idx")),
+        bloom=bloom,
     )
 
 

@@ -71,23 +71,30 @@ def unpack_codes(packed: jax.Array, exc: jax.Array, l: int) -> jax.Array:
 
 
 FAST_HITS = 8  # two-tier verify: the fast tier's candidate budget
+BLOOM_K = 32  # Bloom path: per-read budget of filter-passing windows
 
 
-def _cv_tier(db, hi, lo, cand_ilv, valid_ilv, pos_ilv, mh: int, out_mh: int,
-             impl, seen):
+_SENT = 2**31 - 1
+
+
+def _cv_tier(db, hi_ilv, lo_ilv, cand_ilv, valid_ilv, pos_ilv, mh: int,
+             out_mh: int, impl, seen):
     """One compaction+verify tier: compact to ``mh`` candidates, verify
     against rec, gather slot targets, and (finals path, ``seen`` not None)
     scatter the verified slots into the seen bitmap — ALL sized [B, mh], so
-    the fast tier's gather/scatter lane counts stay small.  Outputs are
-    padded to ``out_mh`` columns (pads are unverified holes,
-    indistinguishable from rejected candidates downstream).  ``impl`` is an
-    ops/compact formulation."""
-    b, p = hi.shape
-    pos32, cand32, _ = impl(cand_ilv, valid_ilv, pos_ilv, mh)
-    has = pos32 < p
-    pc = jnp.minimum(pos32, p - 1)
-    qhi = jnp.take_along_axis(hi, pc, axis=1)
-    qlo = jnp.take_along_axis(lo, pc, axis=1)
+    the fast tier's gather/scatter lane counts stay small.  The query key
+    words ride as compaction payloads (``hi_ilv``/``lo_ilv``, column-aligned
+    with ``cand_ilv``) — re-fetching them by position with take_along_axis
+    costs more than the entire compaction (per-row gathers are
+    transaction-bound on this chip).  Outputs are padded to ``out_mh``
+    columns (pads are unverified holes, indistinguishable from rejected
+    candidates downstream).  ``impl`` is an ops/compact formulation."""
+    b = cand_ilv.shape[0]
+    mh = min(mh, cand_ilv.shape[1])  # plane may be narrower than the budget
+    pos32, cand32, _, (qhi, qlo) = impl(
+        cand_ilv, valid_ilv, pos_ilv, mh, extras=(hi_ilv, lo_ilv)
+    )
+    has = pos32 < _SENT
     rows = jnp.take(db["rec"], cand32.reshape(-1), axis=0).reshape(b, mh, 4)
     ver = has & (rows[..., 0] == qhi) & (rows[..., 1] == qlo)
     tin = rows[..., 2].astype(jnp.int32)
@@ -145,25 +152,80 @@ def _compact_verify(db, ex, max_hits: int, seen=None):
         compact_sort,
         interleave_planes,
     )
+    from kmer_id_tpu.ops.lookup import bloom_pass
 
     hi, lo, valid = ex["hi"], ex["lo"], ex["valid"]
     b, p = hi.shape
-    planes = fp_candidates(db, hi, lo, valid)
-    cand_ilv, valid_ilv = interleave_planes(planes)
-    k = len(planes)
-    pos_ilv = jax.lax.broadcasted_iota(
-        jnp.int32, (1, cand_ilv.shape[1]), 1
-    ) // k
-    ncand = valid_ilv.sum(axis=1).astype(jnp.int32)
-    args = (db, hi, lo, cand_ilv, valid_ilv, pos_ilv)
-    if max_hits > FAST_HITS:
-        res = jax.lax.cond(
-            jnp.max(ncand) > FAST_HITS,
-            lambda: _cv_tier(*args, max_hits, max_hits, compact_sort, seen),
-            lambda: _cv_tier(*args, FAST_HITS, max_hits, compact_auto, seen),
+
+    def _tiered(qhi, qlo, cand_ilv, valid_ilv, pos_ilv):
+        """Inner fast/slow tier selection on an interleaved candidate plane.
+        ``qhi``/``qlo`` are the query-key planes of the candidate domain
+        ([B, C/planes]); they are column-replicated to ride as compaction
+        payloads."""
+        k = cand_ilv.shape[1] // qhi.shape[1]
+        hi_ilv = jnp.repeat(qhi, k, axis=1)
+        lo_ilv = jnp.repeat(qlo, k, axis=1)
+        ncand = valid_ilv.sum(axis=1).astype(jnp.int32)
+        args = (db, hi_ilv, lo_ilv, cand_ilv, valid_ilv, pos_ilv)
+        if max_hits > FAST_HITS:
+            res = jax.lax.cond(
+                jnp.max(ncand) > FAST_HITS,
+                lambda: _cv_tier(*args, max_hits, max_hits, compact_sort, seen),
+                lambda: _cv_tier(*args, FAST_HITS, max_hits, compact_auto, seen),
+            )
+        else:
+            res = _cv_tier(*args, max_hits, max_hits, compact_auto, seen)
+        return res, ncand
+
+    def _full_planes():
+        planes = fp_candidates(db, hi, lo, valid)
+        ci, vi = interleave_planes(planes)
+        pos_ilv = jax.lax.broadcasted_iota(
+            jnp.int32, (1, ci.shape[1]), 1
+        ) // len(planes)
+        return ci, vi, pos_ilv
+
+    if "bloom" in db:
+        # Bloom gate: ONE fast-zone gather per window decides which windows
+        # see the expensive L1 gather at all; passing windows (~true probes
+        # + ~5% false-pass) are rank-compacted to BLOOM_K per read — with
+        # their key words as compaction payloads — and only those probe
+        # L1/L2.  A read passing more than BLOOM_K windows flips the batch
+        # to the probe-every-window path (real reads carry <= ~5 probe
+        # windows; > 32 implies a probe-dense artificial read, which that
+        # path + the overflow replay already handle exactly).
+        bloomed = bloom_pass(db, hi, lo, valid)
+        npass = bloomed.sum(axis=1).astype(jnp.int32)
+
+        def bloom_path():
+            iota_p = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+            wpos, _, _, (whi, wlo) = compact_auto(
+                jnp.broadcast_to(iota_p, (b, p)), bloomed, iota_p, BLOOM_K,
+                extras=(hi, lo),
+            )
+            wvalid = wpos < _SENT
+            wp = jnp.where(wvalid, wpos, 0)
+            planes = fp_candidates(db, whi, wlo, wvalid)
+            ci, vi = interleave_planes(planes)
+            pos2 = jnp.repeat(wp, len(planes), axis=1)
+            return _tiered(whi, wlo, ci, vi, pos2)
+
+        def dense_path():
+            ci, vi, pos_ilv = _full_planes()
+            k = ci.shape[1] // p
+            ncand = vi.sum(axis=1).astype(jnp.int32)
+            out = _cv_tier(
+                db, jnp.repeat(hi, k, axis=1), jnp.repeat(lo, k, axis=1),
+                ci, vi, pos_ilv, max_hits, max_hits, compact_sort, seen,
+            )
+            return out, ncand
+
+        res, ncand = jax.lax.cond(
+            jnp.max(npass) > BLOOM_K, dense_path, bloom_path
         )
     else:
-        res = _cv_tier(*args, max_hits, max_hits, compact_auto, seen)
+        ci, vi, pos_ilv = _full_planes()
+        res, ncand = _tiered(hi, lo, ci, vi, pos_ilv)
     if seen is None:
         cand32, ver, tin, tout, depth, t = res
     else:
@@ -369,6 +431,10 @@ class FpClassifier:
             "chain3": jnp.asarray(taxonomy.chain_tables()[0]),
             "depth": jnp.asarray(taxonomy.depth),
         }
+        import os as _os
+
+        if f.bloom is not None and _os.environ.get("KMER_BLOOM", "1") != "0":
+            self._db["bloom"] = jnp.asarray(np.ascontiguousarray(f.bloom))
 
     # ------------------------------------------------------------ state
     def new_seen(self) -> jax.Array:

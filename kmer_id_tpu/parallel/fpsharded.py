@@ -199,11 +199,14 @@ class ShardedFpClassifier:
             posi = jax.lax.broadcasted_iota(
                 jnp.int32, (1, cand_ilv.shape[1]), 1
             ) // len(planes)
-            posk, cand, ncand = compact_auto(cand_ilv, valid_ilv, posi, mh)
-            has = posk < p
-            pc = jnp.minimum(posk, p - 1)
-            qhi = jnp.take_along_axis(hi, pc, axis=1)
-            qlo = jnp.take_along_axis(lo, pc, axis=1)
+            # query key words ride as compaction payloads (take_along_axis
+            # per-row gathers are transaction-bound; see engine/fpclassify)
+            posk, cand, ncand, (qhi, qlo) = compact_auto(
+                cand_ilv, valid_ilv, posi, mh,
+                extras=(jnp.repeat(hi, len(planes), axis=1),
+                        jnp.repeat(lo, len(planes), axis=1)),
+            )
+            has = posk < sent
             rrows = jnp.take(rec, cand.reshape(-1), axis=0).reshape(rows, mh, 4)
             ver = has & (rrows[..., 0] == qhi) & (rrows[..., 1] == qlo)
             tgt = jnp.where(

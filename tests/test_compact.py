@@ -45,22 +45,23 @@ def test_reduce_matches_sort(density, max_hits):
     args = _fixture(rng, 64, 37, 3, density) + (max_hits,)
     got = compact_ranks(*args)
     want = compact_sort(*args)
-    for g, w, name in zip(got, want, ("pos", "cand", "ncand")):
-        g, w = np.asarray(g), np.asarray(w)
-        if name == "cand":
-            # payloads are only defined where a candidate exists
-            has = np.asarray(got[0]) != _SENT
-            g, w = np.where(has, g, 0), np.where(has, w, 0)
-        np.testing.assert_array_equal(g, w, err_msg=name)
+    for g, w, name in zip(got[:3], want[:3], ("pos", "cand", "ncand")):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w), err_msg=name)
 
 
 @pytest.mark.parametrize("b,p", [(8, 37), (64, 131)])
 def test_pallas_interpret_matches_reduce(b, p):
     rng = np.random.default_rng(7)
     cand_ilv, valid_ilv, pos_ilv = _fixture(rng, b, p, 3, 0.05)
-    got = compact_ranks_pallas(cand_ilv, valid_ilv, pos_ilv, 8, interpret=True)
-    want = compact_ranks(cand_ilv, valid_ilv, pos_ilv, 8)
-    for g, w, name in zip(got, want, ("pos", "cand", "ncand")):
+    ex = (cand_ilv + 1, (cand_ilv * 3).astype(jnp.uint32))
+    got = compact_ranks_pallas(
+        cand_ilv, valid_ilv, pos_ilv, 8, interpret=True, extras=ex
+    )
+    want = compact_ranks(cand_ilv, valid_ilv, pos_ilv, 8, extras=ex)
+    for g, w, name in zip(
+        got[:3] + got[3], want[:3] + want[3],
+        ("pos", "cand", "ncand", "ex0", "ex1"),
+    ):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w), err_msg=name)
 
 
@@ -75,7 +76,7 @@ def test_window_order_with_cross_plane_ties():
     planes = [(jnp.asarray(cand[:, :, i]), jnp.asarray(valid[:, :, i])) for i in range(k)]
     ci, vi = interleave_planes(planes)
     pos_ilv = jax.lax.broadcasted_iota(jnp.int32, (1, p * k), 1) // k
-    pos32, cand32, ncand = compact_ranks(ci, vi, pos_ilv, 4)
+    pos32, cand32, ncand, _ = compact_ranks(ci, vi, pos_ilv, 4)
     assert list(np.asarray(cand32)[0, :3]) == [10, 12, 31]
     assert list(np.asarray(pos32)[0, :3]) == [1, 1, 3]
     assert int(ncand[0]) == 3

@@ -144,6 +144,97 @@ def test_fp_engine_overflow_reads(world):
     assert res.ucount.tolist() == sim.ucount
 
 
+def test_bloom_invariants(world):
+    """Host/device bloom hash twins agree; the filter has NO false negatives
+    (every DB key passes), and random absent keys pass at a low rate."""
+    import jax.numpy as jnp
+
+    from kmer_id_tpu.db.fpdb import bloom_hashes
+    from kmer_id_tpu.ops.lookup import bloom_hashes_jnp, bloom_pass
+
+    _, _, _, tax, packed = world
+    fp = build_fpdb(packed, tax)
+    assert fp.bloom is not None
+    nblk = fp.bloom.shape[0]
+    hb, h1, h2 = bloom_hashes(packed.hi, packed.lo, nblk, fp.s4, fp.s5)
+    db, d1, d2 = bloom_hashes_jnp(
+        jnp.asarray(packed.hi), jnp.asarray(packed.lo), nblk, fp.s4, fp.s5
+    )
+    assert (np.asarray(db) == hb).all()
+    assert (np.asarray(d1) == h1).all() and (np.asarray(d2) == h2).all()
+
+    dbd = {
+        "bloom": jnp.asarray(fp.bloom),
+        "fp_s4": jnp.uint32(fp.s4),
+        "fp_s5": jnp.uint32(fp.s5),
+    }
+    ok = bloom_pass(
+        dbd, jnp.asarray(packed.hi), jnp.asarray(packed.lo),
+        jnp.ones(len(packed), bool),
+    )
+    assert np.asarray(ok).all(), "bloom false negative"
+    # absent keys: pass rate must be far below 1 (tiny test filter => loose)
+    r = np.random.default_rng(3)
+    ahi = r.integers(0, 1 << 28, size=4096).astype(np.uint32)
+    alo = r.integers(0, 1 << 32, size=4096, dtype=np.uint64).astype(np.uint32)
+    miss = bloom_pass(dbd, jnp.asarray(ahi), jnp.asarray(alo), jnp.ones(4096, bool))
+    assert np.asarray(miss).mean() < 0.2
+
+
+def test_fp_engine_bloom_on_off_equal(world):
+    """gcount/ucount identical with the bloom gate enabled and disabled."""
+    import os
+
+    rec, kmap, parent, tax, packed = world
+    records = make_reads(kmap, n=250, read_len=90)
+    sim = RefSim(kmap, parent, num_targ=8, u_is_t=False)
+    sim.feed(records)
+    results = {}
+    for flag in ("1", "0"):
+        os.environ["KMER_BLOOM"] = flag
+        try:
+            cfg = ClassifyConfig.preset("nx", num_targ=8, batch_size=64, max_len=96)
+            clf = FpClassifier(packed, tax, batch_size=64, max_len=96)
+            sp = SampleProcessor(clf, cfg)
+            sp.feed(records)
+            res = sp.finish()
+            results[flag] = (res.gcount.tolist(), res.ucount.tolist())
+        finally:
+            os.environ.pop("KMER_BLOOM", None)
+    assert results["1"] == results["0"]
+    assert results["1"][0] == sim.gcount and results["1"][1] == sim.ucount
+
+
+def test_fp_engine_bloom_dense_fallback(world, monkeypatch):
+    """Reads passing more bloom windows than BLOOM_K flip the batch to the
+    probe-every-window path; results stay exact."""
+    import jax
+
+    from kmer_id_tpu.engine import fpclassify as F
+
+    rec, kmap, parent, tax, packed = world
+    keys = list(kmap)
+    records = make_reads(kmap, n=20, read_len=90)
+    seq = "".join(
+        codec.key_to_string(keys[int(rng.integers(len(keys)))]) for _ in range(6)
+    )
+    records.insert(2, ("dense", seq, None))  # 6 probe windows > BLOOM_K=3
+    sim = RefSim(kmap, parent, num_targ=8, u_is_t=False)
+    sim.feed(records)
+    monkeypatch.setattr(F, "BLOOM_K", 3)
+    jax.clear_caches()
+    try:
+        cfg = ClassifyConfig.preset("nx", num_targ=8, batch_size=32, max_len=192)
+        clf = FpClassifier(packed, tax, batch_size=32, max_len=192)
+        sp = SampleProcessor(clf, cfg)
+        sp.feed(records)
+        res = sp.finish()
+        assert res.gcount.tolist() == sim.gcount
+        assert res.ucount.tolist() == sim.ucount
+    finally:
+        jax.clear_caches()
+
+
 def test_fp_engine_two_tier_boundary(world):
     """A read whose candidate count lands between FAST_HITS and max_hits
     flips the batch-level cond to the full-width tier (engine/fpclassify.py

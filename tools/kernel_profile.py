@@ -236,12 +236,13 @@ def main():
                 posi = jax.lax.broadcasted_iota(
                     jnp.int32, (1, cand_ilv.shape[1]), 1
                 ) // len(planes)
-                pos32, cand32, ncand = impl_fn(cand_ilv, valid_ilv, posi, mh)
+                pos32, cand32, ncand, (qhi, qlo) = impl_fn(
+                    cand_ilv, valid_ilv, posi, mh,
+                    extras=(jnp.repeat(hi, len(planes), axis=1),
+                            jnp.repeat(lo, len(planes), axis=1)),
+                )
                 bb, pp = hi.shape
-                has = pos32 < pp
-                pc = jnp.minimum(pos32, pp - 1)
-                qhi = jnp.take_along_axis(hi, pc, axis=1)
-                qlo = jnp.take_along_axis(lo, pc, axis=1)
+                has = pos32 < jnp.int32(2**31 - 1)
                 rows = jnp.take(d["rec"], cand32.reshape(-1), axis=0).reshape(bb, mh, 4)
                 ver = has & (rows[..., 0] == qhi) & (rows[..., 1] == qlo)
                 return ver.sum().astype(jnp.int32) + ncand.sum()
