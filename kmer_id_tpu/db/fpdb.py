@@ -16,11 +16,13 @@ table (396M vs 94M rows/s).  The reference's per-kmer hash probe
    bucket ran out of slots (or fingerprint-collided there).  fptab2 stays in
    the fast small-table gather zone by construction.
 3. **Verify stage** (candidates only, compacted to <= max_hits per read):
-   one 16-byte row-gather into ``rec`` fetches the slot's full 60-bit key
+   one 12-byte row-gather into ``rec`` fetches the slot's full 60-bit key
    (exactness: fingerprints only pre-filter; the key compare decides) plus a
-   taxonomy payload — ``tin``/``tout`` DFS interval labels and ``depth`` of
-   the probe's target (core/taxonomy.py) — so the per-read MSCA consistency
-   fold needs **zero** additional gathers.
+   taxonomy payload — the ``tin`` DFS entry label and ``depth`` of the
+   probe's target (core/taxonomy.py); one fast-zone gather of the tiny
+   tin-indexed :func:`build_tinfo` map turns tin into (node, tout), so the
+   per-read MSCA consistency fold needs **zero** additional big-table
+   gathers.
 
 Build-time invariants: no bucket (either level) holds two equal
 fingerprints, so a bucket yields at most one candidate slot and a present
@@ -43,6 +45,14 @@ import numpy as np
 
 SLOTS = 8
 EMPTY_HI = np.uint32(0xFFFFFFFF)  # real key hi < 2^28
+# rec row layout (12 B): (key_hi, key_lo, tin | depth << 24).  The probe's
+# target node and its subtree-exit label ride OUTSIDE the big table, in the
+# tiny tin-indexed ``tinfo`` map (engine/fpclassify.FpClassifier builds it
+# from the taxonomy: tin is a unique DFS entry time, so tin <-> node is a
+# bijection).  v2 stored (tin, tout | depth << 24) plus a full [nslots]
+# slot_target array on device; dropping both cut the device footprint ~2.4x
+# (rec 16->12 B/slot, slot_target gone) with zero extra big-table gathers —
+# the (node, tout) lookup is a fast-zone gather by tin.
 # Block-Bloom pre-filter sizing.  The L1 gather is the kernel's dominant cost
 # and its table (~16 B/key at load 0.35) cannot fit the chip's fast gather
 # zone (tables <= ~33 MB gather ~2x faster than larger ones — measured curve
@@ -56,10 +66,15 @@ EMPTY_HI = np.uint32(0xFFFFFFFF)  # real key hi < 2^28
 BLOOM_KEYS_PER_BLOCK = 16
 BLOOM_MAX_BLOCKS = 1 << 21  # 2^21 blocks * 16 B = 33.5 MB
 # L1 bucket-count target: nb1 is snapped to a power of two, so the realized
-# load is in (MAX_LOAD_L1/2, MAX_LOAD_L1].  At 0.35 the single-choice
-# overflow fraction stays ~0.3% (Poisson tail past 8 slots + per-bucket
-# fingerprint duplicates), keeping fptab2 in the fast gather zone.
-MAX_LOAD_L1 = 0.35
+# load lands in (0.28, 0.56] after the halving rule below.  At load ~0.5 the
+# single-choice overflow fraction is ~2-3% (Poisson tail past 8 slots +
+# per-bucket fingerprint duplicates) — the L2 overflow cuckoo absorbs it and
+# stays in the fast gather zone up to ~1e8-key DBs.  Running L1 fuller than
+# the round-3 0.35 target halves fptab/rec/seen bytes per key: smaller
+# tables gather FASTER on this chip (transaction cost falls as tables
+# shrink) and device_put time over the tunnel halves with them.
+MAX_LOAD_L1 = 0.45
+MIN_LOAD_L1 = 0.28  # below this, halve nb1 once (pow2 snap waste cap)
 MAX_LOAD_L2 = 0.5
 
 
@@ -126,6 +141,22 @@ def build_bloom(hi: np.ndarray, lo: np.ndarray, s4: int, s5: int) -> np.ndarray 
     return words.reshape(nblk, 4)
 
 
+def build_tinfo(taxonomy) -> np.ndarray:
+    """int32 [num_nodes, 2] (node, tout) indexed by the node's DFS entry
+    time ``tin`` (a bijection — every node has a unique tin in [0, n)).
+
+    The verify stage reads (tin, depth) straight from a rec row; ONE gather
+    of this fast-zone table resolves the probe's target node id and its
+    subtree-exit label for the consistency test — replacing the v2 design's
+    device-resident [nslots] slot_target array (2-4 B/slot of HBM + H2D)."""
+    n = taxonomy.num_nodes
+    tinfo = np.zeros((n, 2), dtype=np.int32)
+    tinfo[taxonomy.tin] = np.stack(
+        [np.arange(n, dtype=np.int32), taxonomy.tout.astype(np.int32)], axis=1
+    )
+    return tinfo
+
+
 def _pack_fptab(slot_fp: np.ndarray, nb: int) -> np.ndarray:
     """u16 fp per slot -> [nb, 4] u32 rows; slot s of bucket b lives at word
     (s & 3), u16 half (s >> 2), so the device's match index (half*4 + word)
@@ -142,7 +173,7 @@ class FpDB:
 
     fptab: np.ndarray  # uint32 [nb1, 4] — L1: 8 u16 fps per bucket
     fptab2: np.ndarray  # uint32 [nb2, 4] — L2 overflow cuckoo
-    rec: np.ndarray  # uint32 [(nb1+nb2)*8, 4] — (key_hi, key_lo, tin, tout|depth<<24)
+    rec: np.ndarray  # uint32 [(nb1+nb2)*8, 3] — (key_hi, key_lo, tin|depth<<24)
     nb: int  # L1 buckets
     nb2: int  # L2 buckets
     s1: int  # L1 bucket salt
@@ -180,10 +211,10 @@ def build_fpdb(packed, taxonomy, load: float = MAX_LOAD_L1) -> FpDB:
         raise ValueError("taxonomy too large for fp payload packing")
     nb1 = 1 << max(4, int(np.ceil(np.log2(max(n, 1) / (SLOTS * load)))))
     # power-of-two snapping can leave realized load as low as load/2,
-    # inflating rec to ~90 B/key on 1e8-key DBs just past a pow2 boundary;
-    # when the waste is egregious (< 0.22), halve nb1 once and let the L2
-    # overflow cuckoo absorb the slightly larger spill (~0.5-2% of keys)
-    if nb1 > 16 and n / (nb1 * SLOTS) < 0.22:
+    # inflating rec bytes/key just past a pow2 boundary; when the waste is
+    # egregious (< MIN_LOAD_L1), halve nb1 once and let the L2 overflow
+    # cuckoo absorb the larger spill (a few % of keys)
+    if nb1 > 16 and n / (nb1 * SLOTS) < MIN_LOAD_L1:
         nb1 >>= 1
     for attempt in range(6):
         s1 = 0x9E3779B1 + attempt * 7919
@@ -240,13 +271,12 @@ def build_fpdb(packed, taxonomy, load: float = MAX_LOAD_L1) -> FpDB:
         slot_of[over] = nb1 * SLOTS + slot_of2
 
         nslots = (nb1 + nb2) * SLOTS
-        rec = np.zeros((nslots, 4), dtype=np.uint32)
+        rec = np.zeros((nslots, 3), dtype=np.uint32)
         rec[:, 0] = EMPTY_HI
         tgt_clip = np.clip(target, 0, nt - 1)
         rec[slot_of, 0] = hi
         rec[slot_of, 1] = lo
-        rec[slot_of, 2] = taxonomy.tin[tgt_clip].astype(np.uint32)
-        rec[slot_of, 3] = taxonomy.tout[tgt_clip].astype(np.uint32) | (
+        rec[slot_of, 2] = taxonomy.tin[tgt_clip].astype(np.uint32) | (
             taxonomy.depth[tgt_clip].astype(np.uint32) << np.uint32(24)
         )
         slot_target = np.zeros(nslots, dtype=np.int32)
@@ -389,7 +419,7 @@ def save_fpdb(db: FpDB, out_dir) -> None:
     with open(os.path.join(out_dir, "fp_manifest.json"), "w") as f:
         json.dump(
             {
-                "version": 2, "nb": db.nb, "nb2": db.nb2,
+                "version": 3, "nb": db.nb, "nb2": db.nb2,
                 "s1": db.s1, "s2": db.s2, "s3": db.s3,
                 "s4": db.s4, "s5": db.s5,
             },
@@ -406,8 +436,8 @@ def load_fpdb(in_dir, mmap: bool = True) -> FpDB | None:
         return None
     with open(mpath) as f:
         m = json.load(f)
-    if m.get("version") != 2:
-        return None  # stale single-level cache: rebuild
+    if m.get("version") != 3:
+        return None  # stale pre-v3 cache (4-word rec rows): rebuild
     mode = "r" if mmap else None
 
     def arr(name):
@@ -415,15 +445,26 @@ def load_fpdb(in_dir, mmap: bool = True) -> FpDB | None:
 
     bpath = os.path.join(in_dir, "bloom.npy")
     rec = arr("rec")
+    bloom = None
     if os.path.exists(bpath):
-        bloom = np.load(bpath, mmap_mode=mode)
-    else:
-        # older cache: derive from the occupied rec rows and persist
+        try:
+            bloom = np.load(bpath, mmap_mode=mode)
+        except Exception:
+            bloom = None  # torn/corrupt file: fall through to re-derive
+    if bloom is None:
+        # older cache (or torn write): derive from the occupied rec rows and
+        # persist ATOMICALLY — in multi-process deployments several workers
+        # load the same DB dir concurrently, and a plain np.save could be
+        # read half-written by a sibling (a partial filter would introduce
+        # Bloom false negatives -> misclassification).  tmp + os.replace
+        # keeps every reader seeing either no file or a complete one.
         occ = rec[:, 0] != EMPTY_HI
         bloom = build_bloom(rec[occ, 0], rec[occ, 1], int(m["s4"]), int(m["s5"]))
         if bloom is not None:
             try:
-                np.save(bpath, bloom)
+                tmp = bpath + f".tmp.{os.getpid()}"
+                np.save(tmp, bloom)
+                os.replace(tmp, bpath)
             except OSError:
                 pass  # read-only cache dir: keep the in-memory filter
     return FpDB(

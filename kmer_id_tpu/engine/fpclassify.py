@@ -95,16 +95,15 @@ def _cv_tier(db, hi_ilv, lo_ilv, cand_ilv, valid_ilv, pos_ilv, mh: int,
         cand_ilv, valid_ilv, pos_ilv, mh, extras=(hi_ilv, lo_ilv)
     )
     has = pos32 < _SENT
-    rows = jnp.take(db["rec"], cand32.reshape(-1), axis=0).reshape(b, mh, 4)
+    rows = jnp.take(db["rec"], cand32.reshape(-1), axis=0).reshape(b, mh, 3)
     ver = has & (rows[..., 0] == qhi) & (rows[..., 1] == qlo)
-    tin = rows[..., 2].astype(jnp.int32)
-    tout = (rows[..., 3] & jnp.uint32(0xFFFFFF)).astype(jnp.int32)
-    depth = (rows[..., 3] >> 24).astype(jnp.int32)
-    t = jnp.where(
-        ver,
-        jnp.take(db["slot_target"], cand32.reshape(-1)).reshape(b, mh),
-        0,
-    )
+    tin = (rows[..., 2] & jnp.uint32(0xFFFFFF)).astype(jnp.int32)
+    depth = (rows[..., 2] >> 24).astype(jnp.int32)
+    # (node, tout) by tin — ONE fast-zone gather of the tiny tinfo map
+    # (db/fpdb.build_tinfo) instead of a second big-table gather
+    info = jnp.take(db["tinfo"], tin.reshape(-1), axis=0).reshape(b, mh, 2)
+    t = jnp.where(ver, info[..., 0], 0)
+    tout = info[..., 1]
     if seen is not None:
         # every verified slot is a true hit: mark seen (idempotent
         # scatter-max; overflow reads' tail hits come from the host replay)
@@ -235,12 +234,15 @@ def _compact_verify(db, ex, max_hits: int, seen=None):
     j = jnp.argmax(dkey, axis=1)
     deepest = jnp.take_along_axis(cand32, j[:, None], axis=1)[:, 0]
     dtin = jnp.take_along_axis(tin, j[:, None], axis=1)[:, 0]
+    # the deepest hit's target node, read from the already-resolved t plane
+    # (no slot_target table on device)
+    dtgt = jnp.take_along_axis(t, j[:, None], axis=1)[:, 0]
     ok = ~ver | ((tin <= dtin[:, None]) & (dtin[:, None] <= tout))
     consistent = jnp.all(ok, axis=1)
     overflow = ncand > max_hits
     out = {
         "cand": cand32, "ver": ver, "nh": nh, "deepest": deepest,
-        "consistent": consistent, "overflow": overflow,
+        "consistent": consistent, "overflow": overflow, "dtgt": dtgt,
         "tin": tin, "tout": tout, "t": t,
     }
     return out if seen is None else (out, seen)
@@ -274,7 +276,7 @@ def fp_slots(db, ex):
     planes = fp_candidates(db, hi, lo, valid)
 
     def verify(cand, cv):
-        rows = jnp.take(rec, cand.reshape(-1), axis=0).reshape(*cand.shape, 4)
+        rows = jnp.take(rec, cand.reshape(-1), axis=0).reshape(*cand.shape, 3)
         return cv & (rows[..., 0] == hi) & (rows[..., 1] == lo)
 
     out = jnp.full_like(hi, -1, dtype=jnp.int32)
@@ -312,7 +314,7 @@ def fp_finals(db, ex, seen, max_hits: int):
     from kmer_id_tpu.ops.fold import fold_targets_chain
 
     t = cv["t"]
-    dtgt = jnp.take(db["slot_target"], deepest)
+    dtgt = cv["dtgt"]
     need_fold = jnp.any(~consistent & (nh > 0))
     # consistent rows' fold results are discarded below — zero their hits so
     # the fold's dynamic trip count tracks only the inconsistent rows
@@ -375,8 +377,15 @@ def _scatter_summary_seen(seen, summary):
 
 
 @partial(jax.jit, static_argnames=("num_targ",))
-def _ucount_device(seen, slot_target, num_targ: int):
-    t = jnp.where((seen > 0) & (slot_target > 1), slot_target, 0)
+def _ucount_device(seen, rec, tinfo, num_targ: int):
+    """Per-target unique-k-mer counts from the seen bitmap.
+
+    The slot's target node is recovered from its rec row's tin label via the
+    tiny tinfo map (a column read + one fast-zone gather — the v2 design's
+    [nslots] slot_target array no longer exists on device)."""
+    tin = (rec[:, 2] & jnp.uint32(0xFFFFFF)).astype(jnp.int32)
+    t = jnp.take(tinfo, tin, axis=0)[:, 0]
+    t = jnp.where((seen > 0) & (t > 1), t, 0)
     u = jnp.zeros((num_targ,), jnp.int32).at[t].add(
         (t > 0).astype(jnp.int32), mode="promise_in_bounds"
     )
@@ -417,6 +426,8 @@ class FpClassifier:
         self.slot_target = f.slot_target
         self.slot_idx = f.slot_idx
         self.n_probes = len(db)
+        from kmer_id_tpu.db.fpdb import build_tinfo
+
         self._db = {
             "fptab": jnp.asarray(f.fptab),
             "fptab2": jnp.asarray(f.fptab2),
@@ -426,10 +437,8 @@ class FpClassifier:
             "fp_s3": jnp.uint32(f.s3),
             "fp_s4": jnp.uint32(f.s4),
             "fp_s5": jnp.uint32(f.s5),
-            "slot_target": jnp.asarray(f.slot_target),
-            "anc": jnp.asarray(taxonomy.anc),
+            "tinfo": jnp.asarray(build_tinfo(taxonomy)),
             "chain3": jnp.asarray(taxonomy.chain_tables()[0]),
-            "depth": jnp.asarray(taxonomy.depth),
         }
         import os as _os
 
@@ -610,5 +619,7 @@ class FpClassifier:
 
     # ------------------------------------------------------------ finalize
     def ucount(self, seen) -> np.ndarray:
-        u = _ucount_device(seen, self._db["slot_target"], num_targ=self.num_targ)
+        u = _ucount_device(
+            seen, self._db["rec"], self._db["tinfo"], num_targ=self.num_targ
+        )
         return np.asarray(u).astype(np.int64)

@@ -140,18 +140,19 @@ class ShardedFpClassifier:
 
         # per-shard unified local tables: [dbp, nbloc*8 + nb2*8, ...] — each
         # db member's block is its L1 range followed by the full L2, so one
-        # rec/slot_target array serves both candidate levels locally
-        recL1 = f.rec[: f.nb * SLOTS].reshape(self.dbp, self.nbloc * SLOTS, 4)
+        # rec array serves both candidate levels locally
+        recL1 = f.rec[: f.nb * SLOTS].reshape(self.dbp, self.nbloc * SLOTS, 3)
         recL2 = np.broadcast_to(
-            f.rec[f.nb * SLOTS :][None], (self.dbp, f.nb2 * SLOTS, 4)
+            f.rec[f.nb * SLOTS :][None], (self.dbp, f.nb2 * SLOTS, 3)
         )
         rec_loc = np.concatenate([recL1, recL2], axis=1)
         stL1 = f.slot_target[: f.nb * SLOTS].reshape(self.dbp, self.nbloc * SLOTS)
         stL2 = np.broadcast_to(
             f.slot_target[f.nb * SLOTS :][None], (self.dbp, f.nb2 * SLOTS)
         )
-        st_loc = np.concatenate([stL1, stL2], axis=1)
-        self._st_loc_host = st_loc
+        self._st_loc_host = np.concatenate([stL1, stL2], axis=1)
+
+        from kmer_id_tpu.db.fpdb import build_tinfo
 
         sh_db0 = NamedSharding(mesh, P("db", None, None))
         sh_db1 = NamedSharding(mesh, P("db", None))
@@ -159,7 +160,8 @@ class ShardedFpClassifier:
         self._fptab = _put_global(f.fptab, sh_db1)
         self._fptab2 = _put_global(f.fptab2, rep)
         self._rec = _put_global(rec_loc, sh_db0)
-        self._st = _put_global(st_loc, sh_db1)
+        # tin -> (node, tout): tiny, replicated (db/fpdb.build_tinfo)
+        self._tinfo = _put_global(build_tinfo(taxonomy), rep)
         chain3, _ = taxonomy.chain_tables()
         self._chain3 = _put_global(chain3, rep)
         self._salts = tuple(jnp.uint32(s) for s in (f.s1, f.s2, f.s3, f.s4, f.s5))
@@ -169,11 +171,10 @@ class ShardedFpClassifier:
         nb1, nb2, nbloc, mh = f.nb, f.nb2, self.nbloc, max_hits
         sent = jnp.int32(2**31 - 1)
 
-        def local_hits(fptab, fptab2, rec, st, codes, lengths, salts):
+        def local_hits(fptab, fptab2, rec, tinfo, codes, lengths, salts):
             """Per-shard candidate -> verified compact hits (local tables)."""
             s1, s2, s3, s4, s5 = salts
-            rec = rec[0]  # [dbp, loc, 4] shards to a [1, loc, 4] local block
-            st = st[0]
+            rec = rec[0]  # [dbp, loc, 3] shards to a [1, loc, 3] local block
             ex = extract_kmers(codes, lengths)
             hi, lo, valid = ex["hi"], ex["lo"], ex["valid"]
             rows, p = hi.shape
@@ -207,20 +208,28 @@ class ShardedFpClassifier:
                         jnp.repeat(lo, len(planes), axis=1)),
             )
             has = posk < sent
-            rrows = jnp.take(rec, cand.reshape(-1), axis=0).reshape(rows, mh, 4)
+            rrows = jnp.take(rec, cand.reshape(-1), axis=0).reshape(rows, mh, 3)
             ver = has & (rrows[..., 0] == qhi) & (rrows[..., 1] == qlo)
-            tgt = jnp.where(
-                ver, jnp.take(st, cand.reshape(-1)).reshape(rows, mh), 0
+            tinw = rrows[..., 2]  # tin | depth << 24
+            tin_r = (tinw & jnp.uint32(0xFFFFFF)).astype(jnp.int32)
+            info = jnp.take(tinfo, tin_r.reshape(-1), axis=0).reshape(rows, mh, 2)
+            tgt = jnp.where(ver, info[..., 0], 0)
+            tin = jnp.where(ver, tin_r, 0)
+            # (tout | depth << 24) word for the merge, bit-compatible with the
+            # v2 rec payload the downstream math was written against
+            tdw = (info[..., 1].astype(jnp.uint32) & jnp.uint32(0xFFFFFF)) | (
+                tinw & jnp.uint32(0xFF000000)
             )
-            tin = jnp.where(ver, rrows[..., 2].astype(jnp.int32), 0)
-            td = jnp.where(ver, rrows[..., 3].astype(jnp.int32), 0)
+            td = jnp.where(
+                ver, jax.lax.bitcast_convert_type(tdw, jnp.int32), 0
+            )
             lov = ncand > mh
             posk = jnp.where(ver, posk, sent)  # only true hits travel
             return posk, cand, tgt, tin, td, ver, lov
 
-        def step_finals(fptab, fptab2, rec, st, chain3, seen, codes, lengths, salts):
+        def step_finals(fptab, fptab2, rec, tinfo, chain3, seen, codes, lengths, salts):
             posk, cand, tgt, tin, td, ver, lov = local_hits(
-                fptab, fptab2, rec, st, codes, lengths, salts
+                fptab, fptab2, rec, tinfo, codes, lengths, salts
             )
             rows = posk.shape[0]
             # local seen scatter (slot ids are shard-local; exactly-once by
@@ -276,11 +285,10 @@ class ShardedFpClassifier:
             ovr_any = jax.lax.psum(overflow.astype(jnp.int32).sum(), "data")
             return seen, finals, ovr_any
 
-        def step_targets(fptab, fptab2, rec, st, chain3, seen, codes, lengths, salts):
+        def step_targets(fptab, fptab2, rec, tinfo, chain3, seen, codes, lengths, salts):
             """Exact per-window global target plane (replay/long-read path)."""
             s1, s2, s3, s4, s5 = salts
             rec = rec[0]
-            st = st[0]
             ex = extract_kmers(codes, lengths)
             hi, lo, valid = ex["hi"], ex["lo"], ex["valid"]
             dbi = jax.lax.axis_index("db")
@@ -299,22 +307,29 @@ class ShardedFpClassifier:
                 (nbloc * SLOTS + c2 * SLOTS + i3, m3 & valid & own2 & (c2 != c1)),
             ]
             slot = jnp.full_like(hi, -1, dtype=jnp.int32)
+            stin = jnp.zeros_like(hi, dtype=jnp.int32)
             for cnd, cv in planes:
-                rws = jnp.take(rec, cnd.reshape(-1), axis=0).reshape(*cnd.shape, 4)
+                rws = jnp.take(rec, cnd.reshape(-1), axis=0).reshape(*cnd.shape, 3)
                 vr = cv & (rws[..., 0] == hi) & (rws[..., 1] == lo)
                 slot = jnp.where(vr, cnd, slot)
+                stin = jnp.where(
+                    vr, (rws[..., 2] & jnp.uint32(0xFFFFFF)).astype(jnp.int32), stin
+                )
             sc = jnp.where(slot >= 0, slot, 0)
             sv = jnp.where(slot >= 0, jnp.int8(1), jnp.int8(0))
             seen = seen.at[0, 0, sc.reshape(-1)].max(
                 sv.reshape(-1), mode="promise_in_bounds"
             )
             tloc = jnp.where(
-                slot >= 0, jnp.take(st, jnp.maximum(slot, 0).reshape(-1)).reshape(slot.shape), 0
+                slot >= 0,
+                jnp.take(tinfo, stin.reshape(-1), axis=0)[:, 0].reshape(slot.shape),
+                0,
             )
             return seen, jax.lax.psum(tloc, "db")
 
         ispec = (
-            P("db", None), P(None, None), P("db", None, None), P("db", None),
+            P("db", None), P(None, None), P("db", None, None),
+            P(None, None),  # tinfo (replicated)
             P(None, None, None),  # chain3
             P("data", "db", None),  # seen
             P("data", None), P("data"),  # codes, lengths
@@ -361,7 +376,7 @@ class ShardedFpClassifier:
 
     def _call(self, fn, seen, codes, lengths):
         return fn(
-            self._fptab, self._fptab2, self._rec, self._st, self._chain3,
+            self._fptab, self._fptab2, self._rec, self._tinfo, self._chain3,
             seen, self._put_data(codes), self._put_data(lengths), self._salts,
         )
 

@@ -162,9 +162,8 @@ def main():
             cv = F._compact_verify(d, ex, clf.max_hits)
             from kmer_id_tpu.ops.fold import fold_targets_chain
             b = ex["hi"].shape[0]
-            st = d["slot_target"]
-            t = jnp.where(cv["ver"], jnp.take(st, cv["cand"].reshape(-1)).reshape(b, clf.max_hits), 0)
-            dtgt = jnp.take(st, cv["deepest"])
+            t = cv["t"]
+            dtgt = cv["dtgt"]
             need_fold = jnp.any(~cv["consistent"] & (cv["nh"] > 0))
             t_fold = jnp.where(cv["consistent"][:, None], 0, t)
             folded = jax.lax.cond(
@@ -243,7 +242,7 @@ def main():
                 )
                 bb, pp = hi.shape
                 has = pos32 < jnp.int32(2**31 - 1)
-                rows = jnp.take(d["rec"], cand32.reshape(-1), axis=0).reshape(bb, mh, 4)
+                rows = jnp.take(d["rec"], cand32.reshape(-1), axis=0).reshape(bb, mh, 3)
                 ver = has & (rows[..., 0] == qhi) & (rows[..., 1] == qlo)
                 return ver.sum().astype(jnp.int32) + ncand.sum()
             return f
