@@ -222,26 +222,32 @@ def _gen_fixture():
 # ----------------------------------------------------------------- baseline
 
 
-def _reference_baseline(meta) -> float:
-    """Reference reads/sec at its production table size (2^30 cells, 24 GiB),
-    cached.
+def _reference_baseline(meta) -> dict:
+    """Reference reads/sec at its production table size (2^30 cells, 24 GiB):
+    MEDIAN OF 3 measured passes, with the spread recorded; cached.
 
-    Methodology: ONE binary invocation running two jobs (tiny, then full) so
-    the DB text parse + 24 GiB table memset happen exactly once; the classify
-    time of the full job is the mtime delta between the two jobs'
-    ``_result.txt`` files (each is written as its job completes,
-    kmer_read_vf6.cpp:1159-1162).  Cross-process differencing is hopeless
-    here — load time (~3-5 min) varies more than the classify time itself.
+    Methodology: ONE binary invocation running four jobs (tiny, then the
+    1M-read job three times) so the DB text parse + 24 GiB table memset
+    happen exactly once; each full pass's classify time is the mtime delta
+    between consecutive jobs' ``_result.txt`` files (each is written as its
+    job completes, kmer_read_vf6.cpp:1159-1162).  Cross-process differencing
+    is hopeless here — load time (~3-5 min) varies more than the classify
+    time — and a single-sample baseline drifted 21% across rounds
+    (53.0k -> 41.6k reads/s, VERDICT r3 weak #2), so the pinned number is a
+    median with its min/max spread stored alongside.
     """
     bl_path = os.path.join(CACHE, "baseline_full.json")
     if os.path.exists(bl_path):
-        return json.load(open(bl_path))["reads_per_sec"]
+        bl = json.load(open(bl_path))
+        if "runs" in bl:  # v2 methodology (median-of-3)
+            return bl
+        os.remove(bl_path)  # stale single-sample baseline: re-measure
     sys.path.insert(0, os.path.join(ROOT, "tests"))
     import golden_harness as gh
 
     binary = gh._compile("kmer_read_vf6.cpp", "ref_read_vf6_bench_full", [])
     if binary is None:
-        return 0.0
+        return {"reads_per_sec": 0.0}
     workdir = os.path.join(CACHE, "refrun")
     jdir = os.path.join(workdir, "jobs")
     os.makedirs(jdir, exist_ok=True)
@@ -259,29 +265,36 @@ def _reference_baseline(meta) -> float:
                 fo.write(fi.readline())
 
     open(os.path.join(jdir, "jobs.txt"), "w").write(
-        f"tiny 1\n{tiny}\nfull 1\n{meta['reads']}\n"
+        f"tiny 1\n{tiny}\n"
+        + "".join(f"full{i} 1\n{meta['reads']}\n" for i in range(3))
     )
-    log("timing reference (one process: DB load + tiny job + 1M-read job)...")
+    log("timing reference (one process: DB load + tiny job + 3x 1M-read jobs)...")
     t0 = time.time()
     r = subprocess.run(
         [binary, "-name", "bench10", "-jname", "jobs"],
-        cwd=workdir, capture_output=True, text=True, timeout=7200,
+        cwd=workdir, capture_output=True, text=True, timeout=14400,
     )
     assert r.returncode == 0, r.stdout[-500:] + r.stderr[-500:]
     wall = time.time() - t0
-    dt = max(
-        os.path.getmtime(os.path.join(jdir, "full_result.txt"))
-        - os.path.getmtime(os.path.join(jdir, "tiny_result.txt")),
-        1e-3,
-    )
-    rps = meta["n_reads"] / dt
-    json.dump(
-        {"reads_per_sec": rps, "classify_s": dt, "wall_s": wall},
-        open(bl_path, "w"),
-    )
-    log(f"reference baseline: {rps:,.0f} reads/s "
-        f"(classify {dt:.1f}s of {wall:.1f}s total)")
-    return rps
+    marks = [os.path.getmtime(os.path.join(jdir, "tiny_result.txt"))] + [
+        os.path.getmtime(os.path.join(jdir, f"full{i}_result.txt"))
+        for i in range(3)
+    ]
+    runs = [
+        meta["n_reads"] / max(b - a, 1e-3) for a, b in zip(marks, marks[1:])
+    ]
+    bl = {
+        "reads_per_sec": float(np.median(runs)),
+        "runs": [round(x, 1) for x in runs],
+        "spread_pct": round(
+            100.0 * (max(runs) - min(runs)) / float(np.median(runs)), 1
+        ),
+        "wall_s": wall,
+    }
+    json.dump(bl, open(bl_path, "w"))
+    log(f"reference baseline: median {bl['reads_per_sec']:,.0f} reads/s of "
+        f"{bl['runs']} (spread {bl['spread_pct']}%, wall {wall:.0f}s)")
+    return bl
 
 
 # ----------------------------------------------------------------- ours
@@ -363,7 +376,9 @@ def _our_throughput(meta) -> tuple[float, dict]:
     # per-target gcount/ucount lines must be byte-identical — this exercises
     # fingerprint/max_hits edge cases that only appear at production density
     conc = {}
-    ref_result = os.path.join(CACHE, "refrun", "jobs", "full_result.txt")
+    ref_result = os.path.join(CACHE, "refrun", "jobs", "full0_result.txt")
+    if not os.path.exists(ref_result):  # pre-r4 baseline cache layout
+        ref_result = os.path.join(CACHE, "refrun", "jobs", "full_result.txt")
     if res is not None and os.path.exists(ref_result):
         from kmer_id_tpu.engine.pipeline import write_result
 
@@ -407,6 +422,14 @@ def _our_throughput(meta) -> tuple[float, dict]:
 
     return p50, {
         "db_load_s": round(t_load, 2),
+        # classifier-ready = fpdb cache load/build + device table puts.  Warm
+        # (cached fpdb) this is tunnel-transfer-bound: ~1.2 GB of v3 tables
+        # at the ~30 MB/s tunnel ≈ tens of seconds.  A large value means a
+        # COLD fpdb build (cache wiped/stale) or a degraded tunnel — flagged
+        # so a slow setup is never silently folded into the story again
+        # (VERDICT r3 weak #5: an unexplained 790 s appeared here).
+        "setup_s": round(t_clf, 1),
+        "setup_slow": bool(t_clf > 180),
         "runs": [round(r, 1) for r in runs],
         "reads": int(meta["n_reads"]),
         "db_probes": int(len(db.packed)),
@@ -505,7 +528,8 @@ def _history_guard(p50: float) -> dict:
 
 def main():
     meta = _gen_fixture()
-    ref_rps = _reference_baseline(meta)
+    bl = _reference_baseline(meta)
+    ref_rps = bl.get("reads_per_sec", 0.0)
     ours_rps, extra = _our_throughput(meta)
     guard = _history_guard(ours_rps)
     out = {
@@ -514,6 +538,8 @@ def main():
         "unit": "reads/s",
         "vs_baseline": round(ours_rps / ref_rps, 3) if ref_rps else None,
         "baseline_reads_per_sec": round(ref_rps, 1),
+        "baseline_runs": bl.get("runs"),
+        "baseline_spread_pct": bl.get("spread_pct"),
         **extra,
         **guard,
     }

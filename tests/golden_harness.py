@@ -100,7 +100,30 @@ def gzip_file(src: str, dst: str) -> None:
         shutil.copyfileobj(fi, fo)
 
 
-def run(binary: str, args: list[str], cwd: str) -> subprocess.CompletedProcess:
-    return subprocess.run(
-        [binary] + args, cwd=cwd, capture_output=True, text=True, timeout=600
-    )
+def run(binary: str, args: list[str], cwd: str, timeout: int = 600,
+        retries: int = 0) -> subprocess.CompletedProcess:
+    """Run a reference binary; on timeout, optionally retry.
+
+    A compiled golden binary once wedged AFTER printing all its progress
+    output in a full-suite run (environment/IO flake — it passes in seconds
+    in isolation), costing the `-x` suite 10 minutes.  Callers of tiny
+    fixtures pass a short timeout + a retry so a transient wedge costs
+    seconds, not the whole run; the captured output of the timed-out
+    attempt is attached to the final exception for diagnosis.
+    """
+    last = None
+    for attempt in range(retries + 1):
+        try:
+            return subprocess.run(
+                [binary] + args, cwd=cwd, capture_output=True, text=True,
+                timeout=timeout,
+            )
+        except subprocess.TimeoutExpired as e:
+            last = e
+            print(
+                f"[golden] {binary} timed out after {timeout}s "
+                f"(attempt {attempt + 1}/{retries + 1}); "
+                f"stdout tail: {(e.stdout or b'')[-300:]!r}",
+                flush=True,
+            )
+    raise last

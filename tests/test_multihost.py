@@ -152,9 +152,9 @@ assert (rows == np.arange(lo, hi)).all(), rows
 assert (finals2 == np.asarray(finals1)[rows]).all(), (
     finals2.tolist(), np.asarray(finals1)[rows].tolist())
 
-from jax.experimental import multihost_utils
-seen_full = np.asarray(multihost_utils.process_allgather(seen, tiled=True))
-u2 = shard.ucount(seen_full.reshape(2, 2, -1))
+# device-side finalize: the in-mesh psum/segment-sum path — no host
+# allgather of the seen bitmap (GBs at production slot counts)
+u2 = shard.ucount(seen)
 assert u1.tolist() == u2.tolist(), (u1.tolist(), u2.tolist())
 print(json.dumps({"pid": pid, "rows": int(len(rows)), "ucount_sum": int(u2.sum())}))
 """
