@@ -56,8 +56,8 @@ EMPTY_HI = np.uint32(0xFFFFFFFF)  # real key hi < 2^28
 # Block-Bloom pre-filter sizing.  The L1 gather is the kernel's dominant cost
 # and its table (~16 B/key at load 0.35) cannot fit the chip's fast gather
 # zone (tables <= ~33 MB gather ~2x faster than larger ones — measured curve
-# in PERF.md).  A 128-bit-block Bloom filter CAN: ~16 keys/block x 2 bits
-# gives a ~5% false-pass rate, so the big L1 gather runs over <= BLOOM_K
+# in PERF.md).  A 128-bit-block Bloom filter CAN: ~16 keys/block x 4 bits
+# gives a ~2.4% false-pass rate, so the big L1 gather runs over <= BLOOM_K
 # compacted windows per read instead of every window.  Blocks are one 16 B
 # row (the fastest gather row format) and the block count is capped at the
 # fast-zone boundary; DBs too large for that budget (> ~33M keys/chip) skip
@@ -104,17 +104,26 @@ def fp_hashes(hi: np.ndarray, lo: np.ndarray, nb: int, s1: int, s2: int, s3: int
     return b1.astype(np.int64), b2.astype(np.int64), fp
 
 
+BLOOM_BITS = 4  # bits set per key, all drawn from ONE mixed word (no extra
+# gathers — the whole 128-bit block rides in the single row fetch).  At 16
+# keys/block, k=4 gives ~2.4% false-pass vs ~6% at k=2, which is what lets
+# the engine compact filter-passing windows to a narrower BLOOM_K budget.
+
+
 def bloom_hashes(hi: np.ndarray, lo: np.ndarray, nblk: int, s4: int, s5: int):
-    """(block, bit1, bit2) for the 128-bit-block Bloom filter — numpy mirror
-    of ops/lookup.bloom_hashes_jnp (kept bit-identical by tests).  Reuses the
-    L2 salts with distinct xor constants, so no new salt state is needed."""
+    """(block, [bit1..bitK]) for the 128-bit-block Bloom filter — numpy
+    mirror of ops/lookup.bloom_hashes_jnp (kept bit-identical by tests).
+    Reuses the L2 salts with distinct xor constants, so no new salt state is
+    needed."""
     hi = np.asarray(hi, dtype=np.uint32)
     lo = np.asarray(lo, dtype=np.uint32)
     blk = (_mix32(hi ^ np.uint32(0x243F6A88), lo, s4, s5) & np.uint32(nblk - 1)).astype(np.int64)
     m = _mix32(lo ^ np.uint32(0xB7E15162), hi, s5, s4)
-    bit1 = (m & np.uint32(127)).astype(np.int64)
-    bit2 = ((m >> np.uint32(7)) & np.uint32(127)).astype(np.int64)
-    return blk, bit1, bit2
+    bits = [
+        ((m >> np.uint32(7 * j)) & np.uint32(127)).astype(np.int64)
+        for j in range(BLOOM_BITS)
+    ]
+    return blk, bits
 
 
 def bloom_blocks_for(n_keys: int) -> int | None:
@@ -126,15 +135,19 @@ def bloom_blocks_for(n_keys: int) -> int | None:
     return nblk if nblk <= BLOOM_MAX_BLOCKS else None
 
 
-def build_bloom(hi: np.ndarray, lo: np.ndarray, s4: int, s5: int) -> np.ndarray | None:
-    """uint32 [nblk, 4] block-Bloom table with both bits of every key set
-    (no false negatives by construction; tests/test_fp_engine.py asserts)."""
-    nblk = bloom_blocks_for(len(hi))
+def build_bloom(hi: np.ndarray, lo: np.ndarray, s4: int, s5: int,
+                nblk: int | None = None) -> np.ndarray | None:
+    """uint32 [nblk, 4] block-Bloom table with all BLOOM_BITS bits of every
+    key set (no false negatives by construction; tests assert).  Pass
+    ``nblk`` to force a block count (the sharded engine sizes every shard's
+    filter identically so the mesh kernel keeps one static shape)."""
+    if nblk is None:
+        nblk = bloom_blocks_for(len(hi))
     if nblk is None:
         return None
-    blk, bit1, bit2 = bloom_hashes(hi, lo, nblk, s4, s5)
+    blk, bits = bloom_hashes(hi, lo, nblk, s4, s5)
     words = np.zeros(nblk * 4, dtype=np.uint32)
-    for bit in (bit1, bit2):
+    for bit in bits:
         np.bitwise_or.at(
             words, blk * 4 + (bit >> 5), np.uint32(1) << (bit & 31).astype(np.uint32)
         )
@@ -415,7 +428,7 @@ def save_fpdb(db: FpDB, out_dir) -> None:
     np.save(os.path.join(out_dir, "slot_target.npy"), db.slot_target)
     np.save(os.path.join(out_dir, "slot_idx.npy"), db.slot_idx)
     if db.bloom is not None:
-        np.save(os.path.join(out_dir, "bloom.npy"), db.bloom)
+        np.save(os.path.join(out_dir, "bloom4.npy"), db.bloom)
     with open(os.path.join(out_dir, "fp_manifest.json"), "w") as f:
         json.dump(
             {
@@ -443,7 +456,8 @@ def load_fpdb(in_dir, mmap: bool = True) -> FpDB | None:
     def arr(name):
         return np.load(os.path.join(in_dir, f"{name}.npy"), mmap_mode=mode)
 
-    bpath = os.path.join(in_dir, "bloom.npy")
+    bpath = os.path.join(in_dir, "bloom4.npy")  # k=4-bit scheme;
+    # an old 2-bit bloom.npy is ignored and the filter re-derived
     rec = arr("rec")
     bloom = None
     if os.path.exists(bpath):

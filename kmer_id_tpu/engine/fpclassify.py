@@ -71,7 +71,16 @@ def unpack_codes(packed: jax.Array, exc: jax.Array, l: int) -> jax.Array:
 
 
 FAST_HITS = 8  # two-tier verify: the fast tier's candidate budget
-BLOOM_K = 32  # Bloom path: per-read budget of filter-passing windows
+BLOOM_K = 24  # Bloom path: per-read budget of filter-passing windows.  At
+# the k=4 filter's ~2.4% false-pass over <= ~350 windows plus a handful of
+# true probes, the per-read pass count is Poisson-ish with mean << 10, so
+# P(any read of a batch exceeding 24) is negligible — and every unit of
+# budget is ~3 narrow L1/L2 candidate gather lanes, the stage this cap
+# sizes (tools/kernel_profile.py).  Overflowing batches fall back to the
+# probe-every-window path, which stays exact.
+LONG_HITS = 8  # long-read lane: per-chunk verified-hit budget (chunks carry
+# few probes — the reference builder spaces probes >= 31 bases apart — and a
+# narrow budget shrinks the summary D2H plane; overflow chunks replay exact)
 
 
 _SENT = 2**31 - 1
@@ -248,15 +257,7 @@ def _compact_verify(db, ex, max_hits: int, seen=None):
     return out if seen is None else (out, seen)
 
 
-def fp_summary(db, ex, max_hits: int):
-    """Candidate compaction + verify + per-read summary (see module doc).
-
-    Returns int32 [B, 3+max_hits]: col0 deepest-hit slot (-1 if none), col1
-    verified hit count, col2 flags (bit0 consistent, bit1 candidate
-    overflow), col3.. verified slot ids in window order (-1 holes where a
-    false candidate was rejected).
-    """
-    cv = _compact_verify(db, ex, max_hits)
+def _summary_plane(cv):
     ver, nh = cv["ver"], cv["nh"]
     flags = cv["consistent"].astype(jnp.int32) | (
         cv["overflow"].astype(jnp.int32) << 1
@@ -266,6 +267,25 @@ def fp_summary(db, ex, max_hits: int):
     return jnp.concatenate(
         [deepest[:, None], nh[:, None], flags[:, None], slots_out], axis=1
     )
+
+
+def fp_summary(db, ex, max_hits: int):
+    """Candidate compaction + verify + per-read summary (see module doc).
+
+    Returns int32 [B, 3+max_hits]: col0 deepest-hit slot (-1 if none), col1
+    verified hit count, col2 flags (bit0 consistent, bit1 candidate
+    overflow), col3.. verified slot ids in window order (-1 holes where a
+    false candidate was rejected).
+    """
+    return _summary_plane(_compact_verify(db, ex, max_hits))
+
+
+def fp_summary_seen(db, ex, seen, max_hits: int):
+    """fp_summary + the unique-k-mer seen scatter fused into the same kernel
+    (the long-read lane's workhorse: one dispatch does verify + scatter, and
+    only the compact summary plane crosses device->host)."""
+    cv, seen = _compact_verify(db, ex, max_hits, seen)
+    return _summary_plane(cv), seen
 
 
 def fp_slots(db, ex):
@@ -344,6 +364,19 @@ def _fp_kernel_codes(db, codes, lengths, max_hits: int, mode: str):
     if mode == "summary":
         return fp_summary(db, ex, max_hits)
     return fp_slots(db, ex)
+
+
+@partial(jax.jit, static_argnames=("l", "max_hits"), donate_argnums=(4,))
+def _fp_sum_seen_packed(db, packed, exc, lengths, seen, l: int, max_hits: int):
+    codes = unpack_codes(packed, exc, l)
+    ex = extract_kmers(codes, lengths)
+    return fp_summary_seen(db, ex, seen, max_hits)
+
+
+@partial(jax.jit, static_argnames=("max_hits",), donate_argnums=(3,))
+def _fp_sum_seen_codes(db, codes, lengths, seen, max_hits: int):
+    ex = extract_kmers(codes, lengths)
+    return fp_summary_seen(db, ex, seen, max_hits)
 
 
 @partial(jax.jit, static_argnames=("l", "max_hits"), donate_argnums=(4,))
@@ -537,57 +570,102 @@ class FpClassifier:
 
     def process_long_many(self, seen, items: list):
         """Reads longer than max_len: KSIZE-1-halo chunks from MANY reads
-        packed into shared planes (one dispatch+fetch roundtrip per ~8192
-        chunks instead of per read — the tunnel roundtrip is ~35 ms, so
-        per-read kernels capped the FASTA lane at ~0.03 reads/s/roundtrip).
+        packed into shared planes (one dispatch per ~8192 chunks instead of
+        per read — the tunnel roundtrip is ~35 ms, so per-read kernels
+        capped the FASTA lane at ~0.03 reads/s/roundtrip).
 
-        Device runs the summary kernel: the host fetches the compact
-        [rows, 3+max_hits] verified-slot summaries (~30x fewer bytes than the
-        per-window slots plane) and folds each read exactly in window order.
-        Chunk rows whose candidates overflow max_hits fall back to the exact
-        per-window slots plane for their group (rare: ~2^-16 flukes beyond
-        max_hits true hits).  The unique-k-mer scatter happens on device from
-        the same summaries (plus the fallback planes).
+        Round-4 lane design (the r3 lane ran 2 Mbase/s, ~3x SLOWER than the
+        single-core reference scans genome FASTA):
+
+        * chunk planes are sliced with ONE vectorized gather per read (the
+          per-chunk Python copy loop was the host bottleneck at ~77 chunks
+          per 10 kb read);
+        * the kernel is ``fp_summary_seen`` at a narrow ``LONG_HITS`` budget:
+          verify + unique-k-mer scatter fused in one dispatch, and the
+          summary plane crossing D2H shrinks (3 + 8 vs 3 + max_hits ints per
+          chunk);
+        * ALL groups are submitted before any fetch (device queues them
+          back-to-back), then their summary planes come back in ONE
+          concatenated device->host transfer — per-group fetch roundtrips
+          were ~25 ms each;
+        * slot->read assembly is vectorized numpy (chunk rows of a read are
+          consecutive, so a masked flatten + split by per-read counts
+          reconstructs every read's window-ordered hit list); only reads
+          containing a candidate-overflow chunk (>LONG_HITS candidates,
+          ~2^-16 flukes beyond the true hits) take the per-row replay path.
         """
         from kmer_id_tpu.io.batch import pack_codes
 
         l = self.max_len
         step = l - KSIZE + 1
-        specs = []  # (item_idx, start, n_windows_owned)
+        mh = min(LONG_HITS, self.max_hits)
+        # ---- vectorized chunk planes, one gather per read
+        row_item: list[int] = []  # item index of each chunk row
+        plane_rows: list[np.ndarray] = []
+        len_rows: list[np.ndarray] = []
         for idx, item in enumerate(items):
-            w = len(item.codes) - KSIZE + 1
-            for s in range(0, max(w, 0), step):
-                specs.append((idx, s, min(step, w - s)))
-        parts: dict[int, list[np.ndarray]] = {i: [] for i in range(len(items))}
-        for g in range(0, len(specs), self.batch_size):
-            group = specs[g : g + self.batch_size]
+            codes = np.asarray(item.codes, dtype=np.uint8)
+            w = len(codes) - KSIZE + 1
+            if w <= 0:
+                continue
+            starts = np.arange(0, w, step)
+            pos = starts[:, None] + np.arange(l)[None, :]
+            ok = pos < len(codes)
+            plane_rows.append(
+                np.where(ok, codes[np.minimum(pos, len(codes) - 1)], 4)
+            )
+            len_rows.append(
+                np.minimum(len(codes) - starts, l).astype(np.int32)
+            )
+            row_item.extend([idx] * len(starts))
+        n_rows = len(row_item)
+        if n_rows == 0:
+            return seen, [0] * len(items)
+        all_planes = np.concatenate(plane_rows, axis=0)
+        all_lens = np.concatenate(len_rows, axis=0)
+        row_item_arr = np.array(row_item, dtype=np.int64)
+
+        # ---- submit every group, then fetch all summaries at once
+        group_meta = []  # (start, n, summary_dev, packed_args)
+        for g in range(0, n_rows, self.batch_size):
+            n = min(self.batch_size, n_rows - g)
             rows = 32
-            while rows < len(group):
+            while rows < n:
                 rows *= 4  # pad buckets: 32/128/512/2048/8192 jit signatures
             rows = min(max(rows, 32), self.batch_size)
             plane = np.full((rows, l), 4, dtype=np.uint8)
+            plane[:n] = all_planes[g : g + n]
             lengths = np.zeros(rows, dtype=np.int32)
-            for r, (idx, s, _) in enumerate(group):
-                chunk = items[idx].codes[s : s + l]
-                plane[r, : len(chunk)] = chunk
-                lengths[r] = len(chunk)
+            lengths[:n] = all_lens[g : g + n]
             packed, exc = pack_codes(plane, lengths)
             if packed is None:  # exception-list overflow: ship the plane
-                summary_dev = _fp_kernel_codes(
+                summary_dev, seen = _fp_sum_seen_codes(
                     self._db, jnp.asarray(plane), jnp.asarray(lengths),
-                    max_hits=self.max_hits, mode="summary",
+                    seen, max_hits=mh,
                 )
             else:
-                summary_dev = _fp_kernel_packed(
+                summary_dev, seen = _fp_sum_seen_packed(
                     self._db, jnp.asarray(packed), jnp.asarray(exc),
-                    jnp.asarray(lengths), l=l, max_hits=self.max_hits,
-                    mode="summary",
+                    jnp.asarray(lengths), seen, l=l, max_hits=mh,
                 )
-            seen = _scatter_summary_seen(seen, summary_dev)
-            summary = np.asarray(summary_dev)
-            overflow = (summary[: len(group), 2] & 2) != 0
-            sl = None
-            if overflow.any():  # exact per-window fallback for this plane
+            group_meta.append((g, n, summary_dev, (packed, exc, plane, lengths)))
+        cat = jnp.concatenate([m[2] for m in group_meta], axis=0)
+        S = np.asarray(cat)  # ONE fetch for every group
+        # rebuild the per-row view (groups were padded to bucket sizes)
+        rows_list = []
+        off = 0
+        for g, n, sdev, _ in group_meta:
+            rows_list.append(S[off : off + n])
+            off += sdev.shape[0]
+        S = np.concatenate(rows_list, axis=0)  # [n_rows, 3 + mh]
+
+        # ---- overflow replay (exact per-window slots plane, per group)
+        ovr_rows = np.nonzero((S[:, 2] & 2) != 0)[0]
+        replay: dict[int, np.ndarray] = {}
+        if len(ovr_rows):
+            ovr_groups = {int(r) // self.batch_size for r in ovr_rows}
+            for gi in ovr_groups:
+                g, n, _, (packed, exc, plane, lengths) = group_meta[gi]
                 if packed is None:
                     sl_dev = _fp_kernel_codes(
                         self._db, jnp.asarray(plane), jnp.asarray(lengths),
@@ -601,20 +679,42 @@ class FpClassifier:
                     )
                 seen = _scatter_plane_seen(seen, sl_dev)
                 sl = np.asarray(sl_dev)
-            for r, (idx, s, owned) in enumerate(group):
-                if sl is not None and overflow[r]:
-                    parts[idx].append(sl[r, :owned])
-                else:
-                    row = summary[r, 3:]
-                    parts[idx].append(row[row >= 0])
+                for r in ovr_rows:
+                    if int(r) // self.batch_size == gi:
+                        replay[int(r)] = sl[int(r) - g]
+
+        # ---- vectorized slot->read assembly (rows of a read are consecutive)
+        slots = S[:, 3:]
+        valid = slots >= 0
+        ovr_items = set()
+        for r in ovr_rows:
+            valid[r] = False  # these reads take the per-row path below
+            ovr_items.add(int(row_item_arr[r]))
+        flat_item = np.repeat(row_item_arr, mh)
+        selm = valid.reshape(-1)
+        fi = flat_item[selm]
+        fs = slots.reshape(-1)[selm]
+        counts = np.bincount(fi, minlength=len(items))
+        targets_all = self.slot_target[fs] if len(fs) else fs.astype(np.int32)
+        chunks = np.split(targets_all, np.cumsum(counts)[:-1])
         finals = []
         for idx in range(len(items)):
-            slotseq = (
-                np.concatenate(parts[idx]) if parts[idx] else np.zeros(0, np.int32)
-            )
-            slotseq = slotseq[slotseq >= 0]
-            targets = self.slot_target[slotseq] if len(slotseq) else slotseq
-            finals.append(fold_host(self.taxonomy, targets))
+            if idx in ovr_items:  # rare: rebuild this read row-by-row
+                rws = np.nonzero(row_item_arr == idx)[0]
+                parts = []
+                for r in rws:
+                    if int(r) in replay:
+                        p = replay[int(r)]
+                        p = p[p >= 0]
+                    else:
+                        p = slots[r][slots[r] >= 0]
+                    parts.append(p)
+                sl = np.concatenate(parts) if parts else np.zeros(0, np.int64)
+                finals.append(
+                    fold_host(self.taxonomy, self.slot_target[sl.astype(np.int64)])
+                )
+            else:
+                finals.append(fold_host(self.taxonomy, chunks[idx]))
         return seen, finals
 
     # ------------------------------------------------------------ finalize

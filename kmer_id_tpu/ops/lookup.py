@@ -128,32 +128,35 @@ def fp_hashes_jnp(q_hi, q_lo, nb: int, s1, s2, s3):
 
 def bloom_hashes_jnp(q_hi, q_lo, nblk: int, s4, s5):
     """Device twin of db/fpdb.bloom_hashes (bit-identical; tested)."""
+    from kmer_id_tpu.db.fpdb import BLOOM_BITS
+
     s4 = jnp.uint32(s4)
     s5 = jnp.uint32(s5)
     blk = (_fp_mix(q_hi ^ jnp.uint32(0x243F6A88), q_lo, s4, s5)
            & jnp.uint32(nblk - 1)).astype(jnp.int32)
     m = _fp_mix(q_lo ^ jnp.uint32(0xB7E15162), q_hi, s5, s4)
-    bit1 = m & jnp.uint32(127)
-    bit2 = (m >> 7) & jnp.uint32(127)
-    return blk, bit1, bit2
+    bits = [(m >> (7 * j)) & jnp.uint32(127) for j in range(BLOOM_BITS)]
+    return blk, bits
 
 
 def bloom_pass(db, q_hi, q_lo, valid):
     """128-bit-block Bloom membership pre-test: bool plane, True where the
     window MIGHT be a probe (no false negatives — db/fpdb.build_bloom sets
-    both bits of every key; ~5% false-pass at 16 keys/block).  ONE 16-byte
-    row-gather into the fast-zone ``bloom`` table per window — the gate that
-    keeps the expensive L1 gather off ~94% of windows (engine/fpclassify)."""
+    every one of the key's BLOOM_BITS bits; ~2.4% false-pass at 16
+    keys/block with k=4).  ONE 16-byte row-gather into the fast-zone
+    ``bloom`` table per window — the gate that keeps the expensive L1 gather
+    off ~97% of windows (engine/fpclassify)."""
     bloom = db["bloom"]
     nblk = bloom.shape[0]
-    blk, bit1, bit2 = bloom_hashes_jnp(q_hi, q_lo, nblk, db["fp_s4"], db["fp_s5"])
+    blk, bits = bloom_hashes_jnp(q_hi, q_lo, nblk, db["fp_s4"], db["fp_s5"])
     row = jnp.take(bloom, blk, axis=0)  # [..., 4]
     wid = jax.lax.broadcasted_iota(jnp.uint32, row.shape, row.ndim - 1)
-    m1 = jnp.where(wid == (bit1[..., None] >> 5),
-                   jnp.uint32(1) << (bit1[..., None] & 31), jnp.uint32(0))
-    m2 = jnp.where(wid == (bit2[..., None] >> 5),
-                   jnp.uint32(1) << (bit2[..., None] & 31), jnp.uint32(0))
-    need = m1 | m2
+    need = jnp.zeros_like(row)
+    for bit in bits:
+        need = need | jnp.where(
+            wid == (bit[..., None] >> 5),
+            jnp.uint32(1) << (bit[..., None] & 31), jnp.uint32(0),
+        )
     return valid & jnp.all((row & need) == need, axis=-1)
 
 

@@ -13,16 +13,23 @@ fingerprint layout (db/fpdb.py) onto the mesh:
 * **L2 overflow cuckoo replicated, probed by db rank 0 only** (it is
   ~0.3% of keys and KBs in size; single ownership keeps hits and the
   unique-k-mer scatter exactly-once).
+* **Per-shard block-Bloom gate** (round 4): shard k's filter holds exactly
+  the keys k owns, so a DB too large for the single-chip fast-zone filter
+  budget (db/fpdb.bloom_blocks_for) regains the gate once dbp shards split
+  it; windows passing the gate are rank-compacted before any L1 gather,
+  exactly like the flagship engine.
 * **Merge = ONE all_gather of compact per-read hit planes** over ``db``:
   each shard verifies its own candidates locally (exact 60-bit key compare
-  against its rec rows) and emits [rows, max_hits] hits as (window pos,
-  target, tin, tout|depth<<24); gathering K such planes and re-sorting by
-  position reconstructs the read's global hit sequence.  This replaces the
-  round-1 [rows, P] int32 target-plane psum — ~2 MB vs ~4.3 MB per merge,
-  independent of read length.
-* The consistency check / deepest-hit fast path / chain-interval msca fold
-  then run identically on every db member from the gathered payloads (zero
-  taxonomy gathers), keeping finals replicated across ``db``.
+  against its rec rows) and emits a NARROW [rows, 8] hit plane as (window
+  pos, target, tin, tout|depth<<24) — real reads carry <= ~5 hits total and
+  a shard owns ~1/dbp of them; gathering K such planes and re-sorting by
+  position reconstructs the read's global hit sequence.  Shards exceeding
+  the budget flag overflow and the batch replays through the exact
+  per-window path.
+* The consistency check / deepest-hit fast path / dynamic-trip chain msca
+  fold (ops/fold.fold_targets_chain) then run identically on every db
+  member from the gathered payloads (zero taxonomy gathers), keeping finals
+  replicated across ``db``.
 * ``seen`` stays shard-local (slot ids are local), so unique-k-mer
   accounting needs no hot-path communication.
 
@@ -52,8 +59,12 @@ from kmer_id_tpu.engine.classify import fold_host
 from kmer_id_tpu.io.batch import Batch, LongRead
 from kmer_id_tpu.ops.compact import compact_auto, interleave_planes
 from kmer_id_tpu.ops.extract import extract_kmers
-from kmer_id_tpu.ops.fold import fold_targets_interval
-from kmer_id_tpu.ops.lookup import _fp_bucket_match, fp_hashes_jnp
+from kmer_id_tpu.ops.fold import fold_targets_chain
+from kmer_id_tpu.ops.lookup import (
+    _fp_bucket_match,
+    bloom_hashes_jnp,
+    fp_hashes_jnp,
+)
 
 
 @dataclass
@@ -83,6 +94,35 @@ def _local_rows(garr: jax.Array) -> tuple[np.ndarray, np.ndarray]:
     rows_a = np.concatenate([rows[i] for i in order])
     vals_a = np.concatenate([vals[i] for i in order])
     return rows_a, vals_a
+
+
+def _shard_blooms(f: FpDB, dbp: int, nbloc: int) -> np.ndarray | None:
+    """uint32 [dbp, nblk, 4] per-shard block-Bloom filters (see __init__).
+
+    Every shard gets the SAME block count (the mesh kernel needs one static
+    shape), sized for the fullest shard; None when even a single shard's key
+    set exceeds the fast-gather-zone filter budget."""
+    from kmer_id_tpu.db.fpdb import EMPTY_HI, bloom_blocks_for, build_bloom
+
+    l2 = f.rec[f.nb * SLOTS :]
+    l2occ = l2[l2[:, 0] != EMPTY_HI]
+    segs = []
+    for k in range(dbp):
+        seg = f.rec[k * nbloc * SLOTS : (k + 1) * nbloc * SLOTS]
+        occ = seg[seg[:, 0] != EMPTY_HI]
+        if k == 0 and len(l2occ):
+            occ = np.concatenate([occ, l2occ], axis=0)
+        segs.append(occ)
+    nblk = bloom_blocks_for(max(max(len(s) for s in segs), 1))
+    if nblk is None:
+        return None
+    out = np.zeros((dbp, nblk, 4), np.uint32)
+    for k, occ in enumerate(segs):
+        out[k] = build_bloom(
+            np.ascontiguousarray(occ[:, 0]), np.ascontiguousarray(occ[:, 1]),
+            f.s4, f.s5, nblk=nblk,
+        )
+    return out
 
 
 def _put_global(arr: np.ndarray, sharding) -> jax.Array:
@@ -164,15 +204,47 @@ class ShardedFpClassifier:
         self._tinfo = _put_global(build_tinfo(taxonomy), rep)
         chain3, _ = taxonomy.chain_tables()
         self._chain3 = _put_global(chain3, rep)
+        # PER-SHARD block-Bloom filters: shard k's filter holds exactly the
+        # keys k owns (its L1 bucket range, + every L2 key on rank 0), so a
+        # DB too large for one chip's fast-gather-zone filter budget
+        # (db/fpdb.bloom_blocks_for) regains the bloom gate once dbp shards
+        # split it — the sharded answer to the single-chip ~33M-key cap.
+        import os as _os
+
+        self._bloom = None
+        if _os.environ.get("KMER_BLOOM", "1") != "0":
+            blooms = _shard_blooms(f, self.dbp, self.nbloc)
+            if blooms is not None:
+                self._bloom = _put_global(blooms, sh_db0)
+        self._bloom_arr = (
+            self._bloom
+            if self._bloom is not None
+            else _put_global(np.zeros((self.dbp, 1, 4), np.uint32), sh_db0)
+        )
         self._salts = tuple(jnp.uint32(s) for s in (f.s1, f.s2, f.s3, f.s4, f.s5))
         self._data_sh = NamedSharding(mesh, P("data"))
         self._seen_sh = NamedSharding(mesh, P("data", "db"))
 
         nb1, nb2, nbloc, mh = f.nb, f.nb2, self.nbloc, max_hits
         sent = jnp.int32(2**31 - 1)
+        # per-shard verified-hit budget: each shard contributes at most
+        # ``sh`` hits to the merge (real reads carry <= ~5 hits TOTAL and a
+        # shard owns ~1/dbp of them); a shard whose candidate count exceeds
+        # it flags overflow and the batch replays exact.  Narrow budgets
+        # shrink the compaction, the verify gather AND the dbp*sh-wide merge
+        # sort — the round-3 engine carried max_hits-wide planes everywhere.
+        sh = min(8, mh)
+        bloom_k = 24  # per-shard budget of filter-passing windows (each
+        # shard's filter holds only ITS keys, so per-shard pass counts are
+        # even lower than the single-chip engine's)
+        use_bloom = self._bloom is not None
+        nblk_loc = self._bloom.shape[1] if use_bloom else 1
 
-        def local_hits(fptab, fptab2, rec, tinfo, codes, lengths, salts):
-            """Per-shard candidate -> verified compact hits (local tables)."""
+        def local_hits(fptab, fptab2, rec, tinfo, bloom, codes, lengths, salts):
+            """Per-shard: bloom gate -> window compaction -> narrow candidate
+            gathers -> rank compaction -> exact verify, all on local tables.
+            Mirrors the single-chip engine's bloom + two-tier kernel
+            (engine/fpclassify._compact_verify) shard-locally."""
             s1, s2, s3, s4, s5 = salts
             rec = rec[0]  # [dbp, loc, 3] shards to a [1, loc, 3] local block
             ex = extract_kmers(codes, lengths)
@@ -180,6 +252,34 @@ class ShardedFpClassifier:
             rows, p = hi.shape
             dbi = jax.lax.axis_index("db")
             b0 = dbi.astype(jnp.int32) * nbloc
+            bover = jnp.zeros((rows,), bool)
+            if use_bloom:
+                # gate: ONE fast-zone gather into THIS shard's filter (built
+                # over exactly the keys this shard owns: its L1 bucket range
+                # + L2 on rank 0) decides which windows probe L1 at all
+                blm = bloom[0]
+                blk, bits = bloom_hashes_jnp(hi, lo, nblk_loc, s4, s5)
+                row = jnp.take(blm, blk, axis=0)
+                wid = jax.lax.broadcasted_iota(jnp.uint32, row.shape, row.ndim - 1)
+                need = jnp.zeros_like(row)
+                for bit in bits:
+                    need = need | jnp.where(
+                        wid == (bit[..., None] >> 5),
+                        jnp.uint32(1) << (bit[..., None] & 31), jnp.uint32(0),
+                    )
+                bloomed = valid & jnp.all((row & need) == need, axis=-1)
+                npass = bloomed.sum(axis=1).astype(jnp.int32)
+                bover = npass > bloom_k  # dropped windows: replay exact
+                iota_p = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+                wpos, _, _, (whi, wlo) = compact_auto(
+                    jnp.broadcast_to(iota_p, (rows, p)), bloomed, iota_p,
+                    bloom_k, extras=(hi, lo),
+                )
+                wvalid = wpos < sent
+                wp = jnp.where(wvalid, wpos, 0)
+                hi, lo, valid = whi, wlo, wvalid
+            else:
+                wp = jax.lax.broadcasted_iota(jnp.int32, (rows, p), 1)
             b1, _, fp = fp_hashes_jnp(hi, lo, nb1, s1, s2, s3)
             inr = (b1 >= b0) & (b1 < b0 + nbloc)
             bl = jnp.clip(b1 - b0, 0, nbloc - 1)
@@ -197,39 +297,37 @@ class ShardedFpClassifier:
                 (nbloc * SLOTS + c2 * SLOTS + i3, m3 & valid & own2 & (c2 != c1)),
             ]
             cand_ilv, valid_ilv = interleave_planes(planes)
-            posi = jax.lax.broadcasted_iota(
-                jnp.int32, (1, cand_ilv.shape[1]), 1
-            ) // len(planes)
+            pos_ilv = jnp.repeat(wp, len(planes), axis=1)
             # query key words ride as compaction payloads (take_along_axis
             # per-row gathers are transaction-bound; see engine/fpclassify)
             posk, cand, ncand, (qhi, qlo) = compact_auto(
-                cand_ilv, valid_ilv, posi, mh,
+                cand_ilv, valid_ilv, pos_ilv, sh,
                 extras=(jnp.repeat(hi, len(planes), axis=1),
                         jnp.repeat(lo, len(planes), axis=1)),
             )
             has = posk < sent
-            rrows = jnp.take(rec, cand.reshape(-1), axis=0).reshape(rows, mh, 3)
+            rrows = jnp.take(rec, cand.reshape(-1), axis=0).reshape(rows, sh, 3)
             ver = has & (rrows[..., 0] == qhi) & (rrows[..., 1] == qlo)
             tinw = rrows[..., 2]  # tin | depth << 24
             tin_r = (tinw & jnp.uint32(0xFFFFFF)).astype(jnp.int32)
-            info = jnp.take(tinfo, tin_r.reshape(-1), axis=0).reshape(rows, mh, 2)
+            info = jnp.take(tinfo, tin_r.reshape(-1), axis=0).reshape(rows, sh, 2)
             tgt = jnp.where(ver, info[..., 0], 0)
             tin = jnp.where(ver, tin_r, 0)
-            # (tout | depth << 24) word for the merge, bit-compatible with the
-            # v2 rec payload the downstream math was written against
+            # (tout | depth << 24) word for the merge
             tdw = (info[..., 1].astype(jnp.uint32) & jnp.uint32(0xFFFFFF)) | (
                 tinw & jnp.uint32(0xFF000000)
             )
             td = jnp.where(
                 ver, jax.lax.bitcast_convert_type(tdw, jnp.int32), 0
             )
-            lov = ncand > mh
+            lov = (ncand > sh) | bover
             posk = jnp.where(ver, posk, sent)  # only true hits travel
             return posk, cand, tgt, tin, td, ver, lov
 
-        def step_finals(fptab, fptab2, rec, tinfo, chain3, seen, codes, lengths, salts):
+        def step_finals(fptab, fptab2, rec, tinfo, bloom, chain3, seen, codes,
+                        lengths, salts):
             posk, cand, tgt, tin, td, ver, lov = local_hits(
-                fptab, fptab2, rec, tinfo, codes, lengths, salts
+                fptab, fptab2, rec, tinfo, bloom, codes, lengths, salts
             )
             rows = posk.shape[0]
             # local seen scatter (slot ids are shard-local; exactly-once by
@@ -242,16 +340,12 @@ class ShardedFpClassifier:
             # merge: gather every shard's compact hits, re-sort by window pos
             gath = jax.lax.all_gather(
                 jnp.stack([posk, tgt, tin, td], axis=-1), "db"
-            )  # [dbp, rows, mh, 4]
+            )  # [dbp, rows, sh, 4]
             g = jnp.transpose(gath, (1, 0, 2, 3)).reshape(rows, -1, 4)
             gp, gt, gtin, gtd = (g[..., 0], g[..., 1], g[..., 2], g[..., 3])
             gp, gt, gtin, gtd = jax.lax.sort(
                 (gp, gt, gtin, gtd), dimension=1, num_keys=1, is_stable=True
             )
-            gp = gp[:, :mh]
-            gt = gt[:, :mh]
-            gtin = gtin[:, :mh]
-            gtd = gtd[:, :mh]
             hit = gp < sent
             gtd_u = jax.lax.bitcast_convert_type(gtd, jnp.uint32)
             tout = (gtd_u & jnp.uint32(0xFFFFFF)).astype(jnp.int32)
@@ -263,16 +357,13 @@ class ShardedFpClassifier:
             dtgt = jnp.take_along_axis(gt, j[:, None], axis=1)[:, 0]
             ok = ~hit | ((gtin <= dtin[:, None]) & (dtin[:, None] <= tout))
             consistent = jnp.all(ok, axis=1)
-            merged_total = jax.lax.psum(
-                jnp.where(posk < sent, 1, 0).sum(axis=1), "db"
-            )
             overflow = jax.lax.psum(lov.astype(jnp.int32), "db") > 0
-            overflow = overflow | (merged_total > mh)
             t = jnp.where(hit, gt, 0)
-            need_fold = jnp.any(~consistent & (nh > 0))
+            need_fold = jnp.any(~consistent & (nh > 0) & ~overflow)
+            t_fold = jnp.where((consistent | overflow)[:, None], 0, t)
             folded = jax.lax.cond(
                 need_fold,
-                lambda: fold_targets_interval(chain3, t),
+                lambda: fold_targets_chain(chain3, t_fold, gtin, tout),
                 lambda: jnp.zeros((rows,), jnp.int32),
             )
             finals = jnp.where(consistent, jnp.where(nh > 0, dtgt, 0), folded)
@@ -285,8 +376,11 @@ class ShardedFpClassifier:
             ovr_any = jax.lax.psum(overflow.astype(jnp.int32).sum(), "data")
             return seen, finals, ovr_any
 
-        def step_targets(fptab, fptab2, rec, tinfo, chain3, seen, codes, lengths, salts):
-            """Exact per-window global target plane (replay/long-read path)."""
+        def step_targets(fptab, fptab2, rec, tinfo, bloom, chain3, seen, codes,
+                         lengths, salts):
+            """Exact per-window global target plane (replay/long-read path).
+            Probes every window (no bloom gate: this path must be exact even
+            for windows a budget dropped)."""
             s1, s2, s3, s4, s5 = salts
             rec = rec[0]
             ex = extract_kmers(codes, lengths)
@@ -330,6 +424,7 @@ class ShardedFpClassifier:
         ispec = (
             P("db", None), P(None, None), P("db", None, None),
             P(None, None),  # tinfo (replicated)
+            P("db", None, None),  # per-shard bloom filters
             P(None, None, None),  # chain3
             P("data", "db", None),  # seen
             P("data", None), P("data"),  # codes, lengths
@@ -341,7 +436,7 @@ class ShardedFpClassifier:
                 fn, mesh=mesh, in_specs=ispec,
                 out_specs=(P("data", "db", None),) + out, check_vma=False,
             )
-            return jax.jit(f_, donate_argnums=(5,))
+            return jax.jit(f_, donate_argnums=(6,))
 
         self._step_finals = build(step_finals, (P("data"), P()))
         self._step_targets = build(step_targets, (P("data", None),))
@@ -409,8 +504,9 @@ class ShardedFpClassifier:
 
     def _call(self, fn, seen, codes, lengths):
         return fn(
-            self._fptab, self._fptab2, self._rec, self._tinfo, self._chain3,
-            seen, self._put_data(codes), self._put_data(lengths), self._salts,
+            self._fptab, self._fptab2, self._rec, self._tinfo,
+            self._bloom_arr, self._chain3, seen,
+            self._put_data(codes), self._put_data(lengths), self._salts,
         )
 
     def submit_batch(self, seen, batch: Batch):

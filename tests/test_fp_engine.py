@@ -156,12 +156,14 @@ def test_bloom_invariants(world):
     fp = build_fpdb(packed, tax)
     assert fp.bloom is not None
     nblk = fp.bloom.shape[0]
-    hb, h1, h2 = bloom_hashes(packed.hi, packed.lo, nblk, fp.s4, fp.s5)
-    db, d1, d2 = bloom_hashes_jnp(
+    hb, hbits = bloom_hashes(packed.hi, packed.lo, nblk, fp.s4, fp.s5)
+    db, dbits = bloom_hashes_jnp(
         jnp.asarray(packed.hi), jnp.asarray(packed.lo), nblk, fp.s4, fp.s5
     )
     assert (np.asarray(db) == hb).all()
-    assert (np.asarray(d1) == h1).all() and (np.asarray(d2) == h2).all()
+    assert len(hbits) == len(dbits)
+    for hb_, db_ in zip(hbits, dbits):
+        assert (np.asarray(db_) == hb_).all()
 
     dbd = {
         "bloom": jnp.asarray(fp.bloom),

@@ -260,6 +260,49 @@ def main():
                     loop(_cv_with(fn, mh)), args.iters,
                 )
 
+        # ---- bloom-path stage decomposition (the production pipeline)
+        from kmer_id_tpu.ops.lookup import bloom_pass
+        from kmer_id_tpu.ops.compact import compact_auto as CA
+
+        def bloom_only(d, c):
+            ex = extract_kmers(c, lengths)
+            bl = bloom_pass(d, ex["hi"], ex["lo"], ex["valid"])
+            return bl.sum().astype(jnp.int32)
+
+        def bloom_c1(d, c):
+            ex = extract_kmers(c, lengths)
+            hi, lo, valid = ex["hi"], ex["lo"], ex["valid"]
+            bl = bloom_pass(d, hi, lo, valid)
+            bb, pp = hi.shape
+            iota_p = jax.lax.broadcasted_iota(jnp.int32, (1, pp), 1)
+            wpos, _, _, (whi, wlo) = CA(
+                jnp.broadcast_to(iota_p, (bb, pp)), bl, iota_p, F.BLOOM_K,
+                extras=(hi, lo),
+            )
+            return wpos.sum() + whi.sum().astype(jnp.int32)
+
+        def bloom_cand(d, c):
+            ex = extract_kmers(c, lengths)
+            hi, lo, valid = ex["hi"], ex["lo"], ex["valid"]
+            bl = bloom_pass(d, hi, lo, valid)
+            bb, pp = hi.shape
+            iota_p = jax.lax.broadcasted_iota(jnp.int32, (1, pp), 1)
+            wpos, _, _, (whi, wlo) = CA(
+                jnp.broadcast_to(iota_p, (bb, pp)), bl, iota_p, F.BLOOM_K,
+                extras=(hi, lo),
+            )
+            wvalid = wpos < jnp.int32(2**31 - 1)
+            planes = fp_candidates(d, whi, wlo, wvalid)
+            return sum(p[0].sum() for p in planes).astype(jnp.int32)
+
+        if "bloom" in dbd:
+            results[f"{label}/bloom"] = timed(
+                "bloom gather+test", loop(bloom_only), args.iters)
+            results[f"{label}/bloom_c1"] = timed(
+                "+ window compaction (BLOOM_K)", loop(bloom_c1), args.iters)
+            results[f"{label}/bloom_cand"] = timed(
+                "+ narrow L1/L2 candidates", loop(bloom_cand), args.iters)
+
         results[f"{label}/extract"] = timed("extract", loop(ex_only), args.iters)
         results[f"{label}/+candidates"] = timed("+ fp candidates (L1+L2 gathers)", loop(cand), args.iters)
         results[f"{label}/+cand_l2mask"] = timed("+ candidates, L2 indices masked", loop(cand_l2mask), args.iters)
