@@ -53,18 +53,20 @@ EMPTY_HI = np.uint32(0xFFFFFFFF)  # real key hi < 2^28
 # slot_target array on device; dropping both cut the device footprint ~2.4x
 # (rec 16->12 B/slot, slot_target gone) with zero extra big-table gathers —
 # the (node, tout) lookup is a fast-zone gather by tin.
-# Block-Bloom pre-filter sizing.  The L1 gather is the kernel's dominant cost
-# and its table (~16 B/key at load 0.35) cannot fit the chip's fast gather
-# zone (tables <= ~33 MB gather ~2x faster than larger ones — measured curve
-# in PERF.md).  A 128-bit-block Bloom filter CAN: ~16 keys/block x 4 bits
-# gives a ~2.4% false-pass rate, so the big L1 gather runs over <= BLOOM_K
-# compacted windows per read instead of every window.  Blocks are one 16 B
-# row (the fastest gather row format) and the block count is capped at the
-# fast-zone boundary; DBs too large for that budget (> ~33M keys/chip) skip
-# the filter — at that scale the DB should be sharded across chips, where
-# each shard's filter fits again (parallel/fpsharded.py).
+# Block-Bloom pre-filter sizing.  The win is STRUCTURAL, not table-size
+# magic: one bloom row-gather per window replaces three L1/L2 row-gathers
+# plus a full-width candidate compaction — only the ~2.4% of windows that
+# pass ever touch the probe tables.  The chip's measured gather-rate curve
+# (tools/gather_curve.py, r4: ~150-170 M rows/s under ~8 MB, then FLAT
+# ~70-77 M rows/s from 16 MB through 536 MB) says a 134 MB filter gathers
+# no slower than a 33 MB one, so the cap sits at 2^23 blocks = 134 MB —
+# enough for ~134M keys at 16/block, i.e. the real bact10 scale (~1e8
+# probes, README.md:12) runs WITH the filter on one chip (the r3 cap of
+# 2^21 silently disabled it there).  Sharded meshes still prefer
+# per-shard filters (parallel/fpsharded._shard_blooms): each shard's
+# filter holds only its own keys and drops back under the fast 8 MB zone.
 BLOOM_KEYS_PER_BLOCK = 16
-BLOOM_MAX_BLOCKS = 1 << 21  # 2^21 blocks * 16 B = 33.5 MB
+BLOOM_MAX_BLOCKS = 1 << 23  # 2^23 blocks * 16 B = 134 MB
 # L1 bucket-count target: nb1 is snapped to a power of two, so the realized
 # load lands in (0.28, 0.56] after the halving rule below.  At load ~0.5 the
 # single-choice overflow fraction is ~2-3% (Poisson tail past 8 slots +
@@ -476,8 +478,11 @@ def load_fpdb(in_dir, mmap: bool = True) -> FpDB | None:
         bloom = build_bloom(rec[occ, 0], rec[occ, 1], int(m["s4"]), int(m["s5"]))
         if bloom is not None:
             try:
-                tmp = bpath + f".tmp.{os.getpid()}"
-                np.save(tmp, bloom)
+                # np.save appends ".npy" when missing — keep the suffix so
+                # the tmp name is exactly what os.replace moves
+                tmp = bpath + f".tmp{os.getpid()}.npy"
+                with open(tmp, "wb") as fh:
+                    np.save(fh, bloom)
                 os.replace(tmp, bpath)
             except OSError:
                 pass  # read-only cache dir: keep the in-memory filter

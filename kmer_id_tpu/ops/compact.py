@@ -160,6 +160,14 @@ def compact_ranks_pallas(cand_ilv, valid_ilv, pos_ilv, max_hits: int,
         pos = jnp.pad(pos, pad)
         exb = [jnp.pad(e, pad) for e in exb]
     r = min(rows_per_tile, b)
+    # VMEM-aware tile sizing (ADVICE r3): the grid pipelines two tiles of
+    # (3 + n_extras) int32 input planes; at wide column counts (no-bloom
+    # dispatch at large max_len presets) a fixed 512-row tile can exceed the
+    # ~16 MB VMEM budget and fail to compile AT RUNTIME inside an engine jit.
+    # Halve rows until the resident working set fits a conservative budget.
+    tile_bytes = lambda rows: rows * c * 4 * (3 + len(exb)) * 2  # noqa: E731
+    while r > 8 and tile_bytes(r) > (10 << 20):
+        r //= 2
     grid = (pl.cdiv(b, r),)
     in_spec = pl.BlockSpec((r, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((r, max_hits), lambda i: (i, 0), memory_space=pltpu.VMEM)

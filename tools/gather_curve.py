@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Measure the chip's random-row-gather rate vs table size.
+
+This curve is the fp engine's design driver (PERF.md): gathers are
+transaction-bound and small tables gather several times faster than large
+ones.  It also decides the Bloom pre-filter cap (db/fpdb.BLOOM_MAX_BLOCKS):
+the filter only pays while its table gathers meaningfully faster than the
+L1 table it gates.
+
+    python tools/gather_curve.py [--sizes-mb 2 8 16 33 67 134 268 536 1072]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes-mb", type=int, nargs="+",
+                    default=[2, 8, 16, 33, 67, 134, 268, 536, 1072])
+    ap.add_argument("--queries", type=int, default=1 << 20)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    q = args.queries
+    out = {}
+    for mb in args.sizes_mb:
+        rows = mb * (1 << 20) // 16
+        # host-built table shipped with device_put: a device-side
+        # arange+reshape [N, 4] can pick a lane-padded layout on this chip
+        # (4 -> 128) and blow the alloc 32x at >0.5 GB sizes
+        tab = jax.device_put(
+            np.arange(rows * 4, dtype=np.uint32).reshape(rows, 4)
+        )
+        # index shape [B, P] mimics the engine's per-window gather plane
+        idx = jnp.asarray(
+            np.random.default_rng(1)
+            .integers(0, rows, size=q, dtype=np.int64)
+            .reshape(8192, -1)
+        ).astype(jnp.int32)
+
+        @jax.jit
+        def run(t, ix, iters):
+            def step(i, acc):
+                r = jnp.take(t, (ix + i) % rows, axis=0)
+                return acc + r[..., 0].sum()
+
+            return jax.lax.fori_loop(0, iters, step, jnp.uint32(0))
+
+        int(np.asarray(run(tab, idx, 2)))  # compile + warm
+        t0 = time.time()
+        int(np.asarray(run(tab, idx, args.iters)))
+        dt = (time.time() - t0) / args.iters
+        rate = q / dt / 1e6
+        out[f"{mb}MB"] = round(rate, 1)
+        print(f"[gather] {mb:5d} MB: {rate:8.1f} M rows/s "
+              f"({dt * 1e3:.2f} ms / {q >> 20}M gathers)", file=sys.stderr,
+              flush=True)
+        del tab
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
