@@ -482,7 +482,9 @@ def _kernel_throughput(clf) -> dict:
             )
             return acc + seen[0].astype(jnp.int32)
 
-        iters = 20
+        # 100 iterations: the ~36 ms tunnel dispatch+fetch roundtrip amortizes
+        # to ~0.4 ms/batch (at 20 iters it inflated every batch by ~1.8 ms)
+        iters = 100
         int(np.asarray(run(clf._db, jnp.asarray(codes), jnp.asarray(lengths), iters)))
         t0 = time.time()
         int(np.asarray(run(clf._db, jnp.asarray(codes), jnp.asarray(lengths), iters)))

@@ -86,10 +86,20 @@ class KmerTable:
 
 
 class TableBuilder:
-    """Accumulates per-genome runs and consolidates by sort+reduce."""
+    """Accumulates per-genome runs and consolidates by sort+reduce.
+
+    The consolidated table is kept as a SORTED base that new 2 GB batches
+    merge into: only the fresh batch pays a full comparison sort; the
+    base+batch combine is a stable sort over two already-sorted runs
+    (timsort detects them — O(n) merge), then one reduceat/LCA pass.  An
+    earlier formulation counted the consolidated table itself against the
+    pending budget, so past ~2 GB of distinct keys EVERY genome re-sorted
+    the whole table — quadratic at multi-Mb-genome corpus scale (the
+    200 x 5 Mb builder proof exposed it)."""
 
     def __init__(self, tax: Taxonomy, consolidate_bytes: int = 2 << 30):
         self.tax = tax
+        self.base: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
         self.runs: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         self.pending = 0
         self.limit = consolidate_bytes
@@ -102,28 +112,47 @@ class TableBuilder:
         if self.pending > self.limit:
             self._consolidate()
 
+    @staticmethod
+    def _reduce(keys, counts, targets, tax):
+        starts = np.flatnonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))
+        uk = keys[starts]
+        ucount = np.minimum(np.add.reduceat(counts, starts), MAXREP).astype(np.int32)
+        utarg = segmented_lca(tax, starts, targets)
+        return uk, ucount, utarg
+
     def _consolidate(self) -> None:
-        if len(self.runs) <= 1:
+        if not self.runs:
             return
         keys = np.concatenate([r[0] for r in self.runs])
         counts = np.concatenate([r[1] for r in self.runs])
         targets = np.concatenate([r[2] for r in self.runs])
+        self.runs = []
+        self.pending = 0
         order = np.argsort(keys, kind="stable")
-        keys, counts, targets = keys[order], counts[order], targets[order]
-        starts = np.flatnonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))
-        uk = keys[starts]
-        ucount = np.minimum(np.add.reduceat(counts, starts), MAXREP).astype(np.int32)
-        utarg = segmented_lca(self.tax, starts, targets)
-        self.runs = [(uk, ucount, utarg)]
-        self.pending = uk.nbytes * 2
+        batch = self._reduce(keys[order], counts[order], targets[order], self.tax)
+        del keys, counts, targets, order
+        if self.base is None:
+            self.base = batch
+            return
+        # merge two sorted runs (saturating-count sum and LCA target merge
+        # are both associative, so batchwise combining is exact)
+        keys = np.concatenate([self.base[0], batch[0]])
+        counts = np.concatenate([self.base[1], batch[1]])
+        targets = np.concatenate([self.base[2], batch[2]])
+        self.base = None
+        del batch
+        order = np.argsort(keys, kind="stable")  # timsort: O(n) on 2 runs
+        self.base = self._reduce(
+            keys[order], counts[order], targets[order], self.tax
+        )
 
     def finish(self) -> KmerTable:
         self._consolidate()
-        if not self.runs:
+        if self.base is None:
             z = np.zeros(0, dtype=np.uint64)
             return KmerTable(z, z.astype(np.int32), z.astype(np.int32))
-        uk, ucount, utarg = self.runs[0]
-        self.runs = []
+        uk, ucount, utarg = self.base
+        self.base = None
         return KmerTable(uk, utarg, ucount)
 
 

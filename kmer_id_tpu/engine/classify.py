@@ -147,6 +147,37 @@ def resolve_finals(tax, summary, get_targets) -> np.ndarray:
     return finals
 
 
+def fold_host_many(tax, seqs: list) -> np.ndarray:
+    """Exact ordered msca fold of MANY reads' hit sequences, batched.
+
+    The fold is sequential along each read's hits but independent across
+    reads, so it runs as max_hits column steps of the ALREADY-vectorized
+    ``tax.msca`` over the whole batch — the long-read lane folds ~1000
+    genome contigs in ~20 vectorized steps instead of ~20,000 scalar msca
+    calls (which were 70% of the round-3 lane's wall time).
+    """
+    r = len(seqs)
+    out = np.zeros(r, dtype=np.int64)
+    if r == 0:
+        return out
+    lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    h = int(lens.max(initial=0))
+    if h == 0:
+        return out
+    plane = np.zeros((r, h), dtype=np.int64)
+    for i, s in enumerate(seqs):
+        plane[i, : len(s)] = s
+    f = np.zeros(r, dtype=np.int64)
+    for col in range(h):
+        t = plane[:, col]
+        use = t > 0
+        if not use.any():
+            continue
+        merged = tax.msca(t, f)
+        f = np.where(use, np.where(f > 0, merged, t), f)
+    return f
+
+
 def fold_host(tax, targets: np.ndarray) -> int:
     """Exact host-side ordered fold of an in-order window-target sequence.
 

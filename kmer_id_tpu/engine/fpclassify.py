@@ -409,20 +409,57 @@ def _scatter_summary_seen(seen, summary):
     return seen.at[idx.reshape(-1)].max(v.reshape(-1), mode="promise_in_bounds")
 
 
+@jax.jit
+def _slot_nodes(rec, tinfo):
+    """One-time [nslots] target-node vector from the rec tin labels (1-D
+    column gather — a [nslots, 2] gather result would be lane-padded
+    2 -> 128 by the TPU layout, 64x the bytes)."""
+    tin = (rec[:, 2] & jnp.uint32(0xFFFFFF)).astype(jnp.int32)
+    return jnp.take(tinfo[:, 0], tin, axis=0)
+
+
+_UCOUNT_CHUNK = 1 << 20
+
+
 @partial(jax.jit, static_argnames=("num_targ",))
-def _ucount_device(seen, rec, tinfo, num_targ: int):
+def _ucount_device(seen, node, num_targ: int):
     """Per-target unique-k-mer counts from the seen bitmap.
 
-    The slot's target node is recovered from its rec row's tin label via the
-    tiny tinfo map (a column read + one fast-zone gather — the v2 design's
-    [nslots] slot_target array no longer exists on device)."""
-    tin = (rec[:, 2] & jnp.uint32(0xFFFFFF)).astype(jnp.int32)
-    t = jnp.take(tinfo, tin, axis=0)[:, 0]
-    t = jnp.where((seen > 0) & (t > 1), t, 0)
-    u = jnp.zeros((num_targ,), jnp.int32).at[t].add(
-        (t > 0).astype(jnp.int32), mode="promise_in_bounds"
+    Histogram formulation: a scatter-add over tens of millions of slots
+    into a few thousand targets serializes on index collisions (~0.5 s at
+    bench scale); instead the count is an MXU contraction of two one-hot
+    factors — target = hi * 128 + lo, counts2d[hi, lo] = sum over slots of
+    onehot(hi) * onehot(lo) * seen — scanned in 1M-slot chunks so the
+    one-hot operands stay small.  ~6x faster, bit-exact while every
+    per-target count stays below f32's exact-integer range (2^24; the
+    builder caps probes at 100k per target, kmer_build_vf6.cpp:41) —
+    asserted vs the scatter formulation in tests."""
+    n = seen.shape[0]
+    pad = (-n) % _UCOUNT_CHUNK
+    node_p = jnp.pad(node, (0, pad))
+    seen_p = jnp.pad(seen, (0, pad))
+    m = (seen_p > 0) & (node_p > 1)
+    hi_dim = -(-num_targ // 128)
+    hi = (node_p >> 7).astype(jnp.int32)
+    lo = (node_p & 127).astype(jnp.int32)
+    nchunk = (n + pad) // _UCOUNT_CHUNK
+
+    def body(carry, xs):
+        h, l, mm = xs
+        oh = jax.nn.one_hot(h, hi_dim, dtype=jnp.float32) * mm[:, None]
+        ol = jax.nn.one_hot(l, 128, dtype=jnp.float32)
+        return carry + jnp.einsum("ni,nj->ij", oh, ol), None
+
+    c, _ = jax.lax.scan(
+        body,
+        jnp.zeros((hi_dim, 128), jnp.float32),
+        (
+            hi.reshape(nchunk, _UCOUNT_CHUNK),
+            lo.reshape(nchunk, _UCOUNT_CHUNK),
+            m.astype(jnp.float32).reshape(nchunk, _UCOUNT_CHUNK),
+        ),
     )
-    return u
+    return c.reshape(-1)[:num_targ].astype(jnp.int32)
 
 
 class FpClassifier:
@@ -477,6 +514,7 @@ class FpClassifier:
 
         if f.bloom is not None and _os.environ.get("KMER_BLOOM", "1") != "0":
             self._db["bloom"] = jnp.asarray(np.ascontiguousarray(f.bloom))
+        self._slot_node = None  # [nslots] device target-node map (lazy)
 
     # ------------------------------------------------------------ state
     def new_seen(self) -> jax.Array:
@@ -697,29 +735,26 @@ class FpClassifier:
         counts = np.bincount(fi, minlength=len(items))
         targets_all = self.slot_target[fs] if len(fs) else fs.astype(np.int32)
         chunks = np.split(targets_all, np.cumsum(counts)[:-1])
-        finals = []
-        for idx in range(len(items)):
-            if idx in ovr_items:  # rare: rebuild this read row-by-row
-                rws = np.nonzero(row_item_arr == idx)[0]
-                parts = []
-                for r in rws:
-                    if int(r) in replay:
-                        p = replay[int(r)]
-                        p = p[p >= 0]
-                    else:
-                        p = slots[r][slots[r] >= 0]
-                    parts.append(p)
-                sl = np.concatenate(parts) if parts else np.zeros(0, np.int64)
-                finals.append(
-                    fold_host(self.taxonomy, self.slot_target[sl.astype(np.int64)])
-                )
-            else:
-                finals.append(fold_host(self.taxonomy, chunks[idx]))
-        return seen, finals
+        for idx in ovr_items:  # rare: rebuild this read row-by-row
+            rws = np.nonzero(row_item_arr == idx)[0]
+            parts = []
+            for r in rws:
+                if int(r) in replay:
+                    p = replay[int(r)]
+                    p = p[p >= 0]
+                else:
+                    p = slots[r][slots[r] >= 0]
+                parts.append(p)
+            sl = np.concatenate(parts) if parts else np.zeros(0, np.int64)
+            chunks[idx] = self.slot_target[sl.astype(np.int64)]
+        # batched exact fold: one vectorized msca column step per hit rank
+        from kmer_id_tpu.engine.classify import fold_host_many
+
+        return seen, fold_host_many(self.taxonomy, chunks).tolist()
 
     # ------------------------------------------------------------ finalize
     def ucount(self, seen) -> np.ndarray:
-        u = _ucount_device(
-            seen, self._db["rec"], self._db["tinfo"], num_targ=self.num_targ
-        )
+        if self._slot_node is None:  # one-time device pass, reused per sample
+            self._slot_node = _slot_nodes(self._db["rec"], self._db["tinfo"])
+        u = _ucount_device(seen, self._slot_node, num_targ=self.num_targ)
         return np.asarray(u).astype(np.int64)

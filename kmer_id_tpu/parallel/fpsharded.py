@@ -414,9 +414,10 @@ class ShardedFpClassifier:
             seen = seen.at[0, 0, sc.reshape(-1)].max(
                 sv.reshape(-1), mode="promise_in_bounds"
             )
+            # 1-D node-column gather (the [N, 2] form lane-pads 2 -> 128)
             tloc = jnp.where(
                 slot >= 0,
-                jnp.take(tinfo, stin.reshape(-1), axis=0)[:, 0].reshape(slot.shape),
+                jnp.take(tinfo[:, 0], stin.reshape(-1), axis=0).reshape(slot.shape),
                 0,
             )
             return seen, jax.lax.psum(tloc, "db")
@@ -454,7 +455,9 @@ class ShardedFpClassifier:
             rec = rec[0]  # [1, loc, 3] local block
             s = jax.lax.psum(seen[0, 0].astype(jnp.int32), "data")
             tin = (rec[:, 2] & jnp.uint32(0xFFFFFF)).astype(jnp.int32)
-            t = jnp.take(tinfo, tin, axis=0)[:, 0]
+            # 1-D node-column gather: a [loc, 2] result would be lane-padded
+            # 2 -> 128 at production slot counts (tens of GB)
+            t = jnp.take(tinfo[:, 0], tin, axis=0)
             m = (s > 0) & (rec[:, 0] != EMPTY_HI) & (t > 1)
             u = jnp.zeros((num_targ,), jnp.int32).at[
                 jnp.where(m, t, 0)
@@ -586,13 +589,15 @@ class ShardedFpClassifier:
             tgt = np.asarray(tgt)
             for r, (idx, s, owned) in enumerate(group):
                 parts[idx].append(tgt[r, :owned])
-        finals = []
+        from kmer_id_tpu.engine.classify import fold_host_many
+
+        seqs = []
         for idx in range(len(items)):
             targets = (
                 np.concatenate(parts[idx]) if parts[idx] else np.zeros(0, np.int32)
             )
-            finals.append(fold_host(self.taxonomy, targets[targets > 0]))
-        return seen, finals
+            seqs.append(targets[targets > 0])
+        return seen, fold_host_many(self.taxonomy, seqs).tolist()
 
     def ucount(self, seen) -> np.ndarray:
         """Per-target unique-k-mer counts, computed IN the mesh (see

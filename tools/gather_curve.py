@@ -26,20 +26,23 @@ def main():
                     default=[2, 8, 16, 33, 67, 134, 268, 536, 1072])
     ap.add_argument("--queries", type=int, default=1 << 20)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--row-bytes", type=int, default=16,
+                    help="gather row width (16 = the fp tables' format)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     q = args.queries
+    w = args.row_bytes // 4
     out = {}
     for mb in args.sizes_mb:
-        rows = mb * (1 << 20) // 16
+        rows = mb * (1 << 20) // args.row_bytes
         # host-built table shipped with device_put: a device-side
-        # arange+reshape [N, 4] can pick a lane-padded layout on this chip
-        # (4 -> 128) and blow the alloc 32x at >0.5 GB sizes
+        # arange+reshape [N, w] can pick a lane-padded layout on this chip
+        # (w -> 128) and blow the alloc at >0.5 GB sizes
         tab = jax.device_put(
-            np.arange(rows * 4, dtype=np.uint32).reshape(rows, 4)
+            np.arange(rows * w, dtype=np.uint32).reshape(rows, w)
         )
         # index shape [B, P] mimics the engine's per-window gather plane
         idx = jnp.asarray(
