@@ -3,31 +3,31 @@
 Per batch, ONE jit-compiled program (static [B, L]):
 
     packed 2-bit bases ──unpack──► codes ──extract──► (hi,lo,valid) [B,P]
-      ──fingerprint stage (2 narrow gathers, ops/lookup.fp_candidates)──►
-      candidate slots ──sort-compact (window order)──► [B, max_hits]
-      ──verify gather (rec rows: key + tin/tout/depth payload)──►
-      per-read summary [B, 3+max_hits] (deepest slot, nhits, flags, slot list)
+      ──block-Bloom gate (1 row-gather/window)──► passing windows,
+      rank-compacted to BLOOM_K per read ──fingerprint stage (L1 + L2
+      row-gathers on the narrow plane, ops/lookup.fp_candidates)──►
+      candidate slots ──rank-compact (window order, two-tier budget)──►
+      ──verify gather (12 B rec rows: key + tin/depth; tiny tinfo map
+      resolves node + tout)──► on-device final call + seen scatter ──►
+      finals int32 [B] (the ONLY per-batch D2H traffic)
 
 Design notes vs engine/classify.Classifier (the legacy sorted/cuckoo engine):
 
-* **H2D is the system bottleneck** on tunneled TPUs (~20 MB/s measured), so
-  reads cross the PCIe/tunnel as 2-bit packed words + a sparse exception list
-  for non-ACGT bases (io/batch.py pack_codes) — ~4x fewer bytes than the u8
-  code plane.
-* All taxonomy work rides in the 16-byte verify row (db/fpdb.py): the
+* **H2D is the system bottleneck** on tunneled TPUs, so reads cross the
+  PCIe/tunnel as 2-bit packed words + a sparse exception list for non-ACGT
+  bases (io/batch.py pack_codes) — ~4x fewer bytes than the u8 code plane.
+* Gathers on this chip are transaction-bound and small tables gather
+  faster (tools/gather_curve.py), so the per-window work is ONE gather
+  into the 16 B/block Bloom filter; only the ~2.4% false-pass + true-probe
+  windows ever touch the L1/L2 fingerprint tables or the rec verify rows.
+* All taxonomy work rides in the 12-byte verify row (db/fpdb.py): the
   consistency test `every hit is an ancestor-or-self of the deepest hit`
-  becomes elementwise interval math — zero ancestor-table gathers.
-* The unique-k-mer ``seen`` set (``newkmer_10nx.cpp:596-603``) lives on the
-  HOST as a slot-id bitmap fed by the returned verified slot lists: the
-  device never scatters, and ucount stays exact because each DB key owns
-  exactly one slot.
-* Compaction is a single two-operand jax.lax.sort (key = window position,
-  payload = slot id) — no scatter; entries stay in window order so the rare
-  inconsistent read can be folded exactly (ordered msca,
-  newkmer_10nx.cpp:588-595) on the host.  Carrying the slot id as a full
-  int32 payload (instead of packing it into the sort key) lifts the slot
-  count to 2^31 — beyond the reference's 2^30-cell production table
-  (newkmer_10nx.cpp:49), so bact10-scale DBs run on the flagship path.
+  is elementwise interval math; the rare inconsistent read folds on device
+  via the dynamic-trip chain scan (ops/fold.fold_targets_chain) under a
+  batch-level lax.cond.
+* The unique-k-mer ``seen`` set (``newkmer_10nx.cpp:596-603``) is a
+  device-resident int8 slot bitmap scatter-maxed inside the finals kernel;
+  per-sample ucount is an MXU one-hot histogram over it (_ucount_device).
 * Reads whose *candidate* count exceeds max_hits (can only exceed the true
   hit count via ~2^-16 fingerprint flukes) and long reads use the per-window
   "slots" kernel — exact, self-contained fallbacks on the same tables.
