@@ -356,6 +356,18 @@ def build_probes(
         # visited set is fully vetted — converges in 1 + #failures rounds).
         nxt = np.searchsorted(cp, cp + KSIZE, side="right")
         n = len(ck)
+        # one-past-the-end of each equal-target run: once a target hits the
+        # per-target cap it stays capped (pcount only grows during the
+        # walk), so the whole remaining run skips in ONE hop — the scalar
+        # per-candidate skip made cap-saturated genomes (the common case at
+        # MAXPROBES x multi-Mb scale) walk millions of python iterations
+        run_last = np.flatnonzero(
+            np.concatenate([ctarg[1:] != ctarg[:-1], [True]])
+        ) if n else np.zeros(0, np.int64)
+        run_next = (
+            np.repeat(run_last + 1, np.diff(np.concatenate([[0], run_last + 1])))
+            if n else np.zeros(0, np.int64)
+        )
         ent_known = np.full(n, -1, dtype=np.int8)  # -1 unknown, 0 fail, 1 ok
         while True:
             pcount_trial = pcount.copy()
@@ -363,12 +375,14 @@ def build_probes(
             j = 0
             while j < n:
                 t = ctarg[j]
-                if pcount_trial[t] < cap:
-                    if ent_known[j] != 0:
-                        emit_js.append(j)
-                        pcount_trial[t] += 1
-                        j = int(nxt[j])
-                        continue
+                if pcount_trial[t] >= cap:
+                    j = int(run_next[j])  # whole same-target run is capped
+                    continue
+                if ent_known[j] != 0:
+                    emit_js.append(j)
+                    pcount_trial[t] += 1
+                    j = int(nxt[j])
+                    continue
                 # skipped candidates don't advance minpos
                 j += 1
             unk = [jj for jj in emit_js if ent_known[jj] < 0]
