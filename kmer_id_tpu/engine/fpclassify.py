@@ -421,24 +421,22 @@ def _slot_nodes(rec, tinfo):
 _UCOUNT_CHUNK = 1 << 20
 
 
-@partial(jax.jit, static_argnames=("num_targ",))
-def _ucount_device(seen, node, num_targ: int):
-    """Per-target unique-k-mer counts from the seen bitmap.
+def onehot_hist(mask_f32, node, num_targ: int):
+    """Histogram of ``node`` weighted by ``mask_f32``, as MXU contractions.
 
-    Histogram formulation: a scatter-add over tens of millions of slots
-    into a few thousand targets serializes on index collisions (~0.5 s at
-    bench scale); instead the count is an MXU contraction of two one-hot
-    factors — target = hi * 128 + lo, counts2d[hi, lo] = sum over slots of
-    onehot(hi) * onehot(lo) * seen — scanned in 1M-slot chunks so the
-    one-hot operands stay small.  ~6x faster, bit-exact while every
-    per-target count stays below f32's exact-integer range (2^24; the
-    builder caps probes at 100k per target, kmer_build_vf6.cpp:41) —
-    asserted vs the scatter formulation in tests."""
-    n = seen.shape[0]
+    A scatter-add over tens of millions of slots into a few thousand
+    targets serializes on index collisions (~0.5 s at bench scale); instead
+    the count is a contraction of two one-hot factors — target =
+    hi * 128 + lo, counts2d[hi, lo] = sum over slots of onehot(hi) *
+    onehot(lo) * mask — scanned in 1M-slot chunks so the one-hot operands
+    stay small.  ~6x faster, bit-exact while every per-target count stays
+    below f32's exact-integer range (2^24; the builder caps probes at 100k
+    per target, kmer_build_vf6.cpp:41) — asserted vs the scatter
+    formulation in tests.  Also the sharded engine's in-mesh finalize."""
+    n = node.shape[0]
     pad = (-n) % _UCOUNT_CHUNK
     node_p = jnp.pad(node, (0, pad))
-    seen_p = jnp.pad(seen, (0, pad))
-    m = (seen_p > 0) & (node_p > 1)
+    m = jnp.pad(mask_f32, (0, pad))
     hi_dim = -(-num_targ // 128)
     hi = (node_p >> 7).astype(jnp.int32)
     lo = (node_p & 127).astype(jnp.int32)
@@ -456,10 +454,17 @@ def _ucount_device(seen, node, num_targ: int):
         (
             hi.reshape(nchunk, _UCOUNT_CHUNK),
             lo.reshape(nchunk, _UCOUNT_CHUNK),
-            m.astype(jnp.float32).reshape(nchunk, _UCOUNT_CHUNK),
+            m.reshape(nchunk, _UCOUNT_CHUNK),
         ),
     )
     return c.reshape(-1)[:num_targ].astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("num_targ",))
+def _ucount_device(seen, node, num_targ: int):
+    """Per-target unique-k-mer counts from the seen bitmap (onehot_hist)."""
+    m = ((seen > 0) & (node > 1)).astype(jnp.float32)
+    return onehot_hist(m, node, num_targ)
 
 
 class FpClassifier:

@@ -452,6 +452,8 @@ class ShardedFpClassifier:
             traffic shrinks from the whole [dp*dbp*loc] bitmap (GBs at
             production slot counts over DCN — VERDICT r3 weak #9) to ONE
             replicated [num_targ] int32 vector (~24 KB)."""
+            from kmer_id_tpu.engine.fpclassify import onehot_hist
+
             rec = rec[0]  # [1, loc, 3] local block
             s = jax.lax.psum(seen[0, 0].astype(jnp.int32), "data")
             tin = (rec[:, 2] & jnp.uint32(0xFFFFFF)).astype(jnp.int32)
@@ -459,9 +461,9 @@ class ShardedFpClassifier:
             # 2 -> 128 at production slot counts (tens of GB)
             t = jnp.take(tinfo[:, 0], tin, axis=0)
             m = (s > 0) & (rec[:, 0] != EMPTY_HI) & (t > 1)
-            u = jnp.zeros((num_targ,), jnp.int32).at[
-                jnp.where(m, t, 0)
-            ].add(m.astype(jnp.int32), mode="promise_in_bounds")
+            # MXU one-hot histogram (engine/fpclassify.onehot_hist): the
+            # scatter-add formulation serializes on target collisions
+            u = onehot_hist(m.astype(jnp.float32), t, num_targ)
             # L2 rows are replicated on every db member but only rank 0 ever
             # scatters them (own2 gating in local_hits), so the db-psum
             # counts each slot exactly once
