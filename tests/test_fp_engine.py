@@ -318,3 +318,26 @@ def test_fp_engine_beyond_legacy_slot_cap():
     assert results[0].gcount.tolist() == results[1].gcount.tolist()
     assert results[0].ucount.tolist() == results[1].ucount.tolist()
     assert results[0].gcount[2:].sum() > 150  # planted probes actually hit
+
+
+def test_ucount_onehot_hist_matches_scatter():
+    """The MXU one-hot histogram finalize (engine/fpclassify.onehot_hist)
+    is bit-equal to the scatter-add formulation, including empty/padded
+    tails and targets at the hi*128+lo grid edges."""
+    import jax.numpy as jnp
+
+    from kmer_id_tpu.engine.fpclassify import onehot_hist
+
+    rng = np.random.default_rng(11)
+    for num_targ, n in ((5982, 100_001), (17227, 1 << 16), (130, 7)):
+        node = rng.integers(0, num_targ, size=n).astype(np.int32)
+        seen = (rng.random(n) < 0.3).astype(np.int8)
+        m = (seen > 0) & (node > 1)
+        want = np.zeros(num_targ, np.int32)
+        np.add.at(want, node[m], 1)
+        got = np.asarray(
+            onehot_hist(
+                jnp.asarray(m.astype(np.float32)), jnp.asarray(node), num_targ
+            )
+        )
+        assert (got == want).all()
