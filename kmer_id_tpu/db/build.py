@@ -97,15 +97,26 @@ class TableBuilder:
     the whole table — quadratic at multi-Mb-genome corpus scale (the
     200 x 5 Mb builder proof exposed it)."""
 
-    def __init__(self, tax: Taxonomy, consolidate_bytes: int = 2 << 30):
+    def __init__(self, tax: Taxonomy, consolidate_bytes: int = 2 << 30,
+                 native: bool | None = None):
         self.tax = tax
         self.base: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
         self.runs: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         self.pending = 0
         self.limit = consolidate_bytes
+        if native is None:
+            from kmer_id_tpu.db import native as kn
+
+            native = kn.native_available()
+        self.native = native
 
     def add_genome(self, keys: np.ndarray, target: int) -> None:
         uk, counts = np.unique(keys, return_counts=True)
+        self.add_run(uk, counts, target)
+
+    def add_run(self, uk: np.ndarray, counts: np.ndarray, target: int) -> None:
+        """Add one genome's pre-deduped (sorted unique keys, counts) run —
+        the native extractor's output shape (db/native.genome_unique_counts)."""
         counts = np.minimum(counts, MAXREP).astype(np.int32)
         self.runs.append((uk, counts, np.full(len(uk), target, dtype=np.int32)))
         self.pending += uk.nbytes * 2
@@ -123,6 +134,24 @@ class TableBuilder:
     def _consolidate(self) -> None:
         if not self.runs:
             return
+        if self.native:
+            from kmer_id_tpu.db import native as kn
+
+            # two-stage like the NumPy path: k-way merge the fresh runs,
+            # then one 2-way merge into the (much larger) base
+            merged = kn.merge_runs(
+                self.runs, self.tax.parent, self.tax.depth, MAXREP
+            )
+            if merged is not None and self.base is not None:
+                merged = kn.merge_runs(
+                    [self.base, merged], self.tax.parent, self.tax.depth,
+                    MAXREP,
+                )
+            if merged is not None:
+                self.base = merged
+                self.runs = []
+                self.pending = 0
+                return
         keys = np.concatenate([r[0] for r in self.runs])
         counts = np.concatenate([r[1] for r in self.runs])
         targets = np.concatenate([r[2] for r in self.runs])
@@ -186,14 +215,19 @@ class GenomeResolver:
             (os.path.join(f, acc + "_contigs.fasta"), "contigs"),
         ]
 
-    def load(self, acc: str, pass_no: int) -> str:
+    def find(self, acc: str, pass_no: int) -> tuple[str, str]:
+        """(path, kind) of the first existing candidate for this pass."""
         for path, kind in self._cands(acc, pass_no):
             if os.path.exists(path):
-                if kind == "gz":
-                    return load_genome_gz(path)
-                return load_genome_contigs(path)
+                return path, kind
         log(f"no file for {acc}")
         raise SystemExit(1)  # kmer_build_vf6.cpp:772
+
+    def load(self, acc: str, pass_no: int) -> str:
+        path, kind = self.find(acc, pass_no)
+        if kind == "gz":
+            return load_genome_gz(path)
+        return load_genome_contigs(path)
 
 
 # ------------------------------------------------------------ main builder
@@ -245,6 +279,7 @@ def build_probes(
     root: str = ".",
     cfg: BuildConfig | None = None,
     resolver: GenomeResolver | None = None,
+    native: bool | None = None,
 ) -> BuildResult:
     """Run the 3-pass build for DB ``name`` (layout ``root/name/name_*``).
 
@@ -284,23 +319,62 @@ def build_probes(
     tax = Taxonomy.from_edges(edges, num_nodes=num_targ)
     log("tree loaded")
 
+    # native builder kernels (db/native): decode + extract + sort/unique in
+    # C++ when available and the resolver is the stock path-based one; the
+    # NumPy formulations below remain the behavioral reference (equality
+    # asserted in tests/test_builder_native.py)
+    from kmer_id_tpu.db import native as kn
+
+    use_native = (
+        (kn.native_available() if native is None else native)
+        and type(resolver) is GenomeResolver
+    )
+
+    def _unique_counts(acc: str, pass_no: int):
+        if use_native:
+            path, kind = resolver.find(acc, pass_no)
+            res = kn.genome_unique_counts(path, kind)
+            if res is not None:
+                return res
+        genome = resolver.load(acc, pass_no)
+        keys, _, _ = canonical_kmers(encode_bases(genome))
+        uk, counts = np.unique(keys, return_counts=True)
+        return uk, counts
+
+    # one-worker prefetch: the native extraction releases the GIL (ctypes),
+    # so the NEXT genome's decode+extract+sort overlaps the current genome's
+    # consolidation / emission work on the second core
+    from concurrent.futures import ThreadPoolExecutor
+
+    ex = ThreadPoolExecutor(max_workers=1) if use_native else None
+
+    def _iter_prefetched(items, fetch):
+        """Yield (item, fetch(item)) with one-item lookahead via ``ex``."""
+        fut = None
+        for idx, it in enumerate(items):
+            cur = fetch(it) if fut is None else fut.result()
+            fut = (
+                ex.submit(fetch, items[idx + 1])
+                if ex is not None and idx + 1 < len(items)
+                else None
+            )
+            yield it, cur
+
     # ---- pass 1: ingest ingroups
-    tb = TableBuilder(tax)
-    for i in range(num_orgs):
-        if targno[i] > 1:
-            genome = resolver.load(accession[i], 1)
-            keys, _, _ = canonical_kmers(encode_bases(genome))
-            tb.add_genome(keys, targno[i])
-            log(f"1 {i} {num_orgs} {accession[i]}", level=2)
+    tb = TableBuilder(tax, native=use_native)
+    ingroup = [i for i in range(num_orgs) if targno[i] > 1]
+    for i, (uk, counts) in _iter_prefetched(
+        ingroup, lambda i: _unique_counts(accession[i], 1)
+    ):
+        tb.add_run(uk, counts, targno[i])
+        log(f"1 {i} {num_orgs} {accession[i]}", level=2)
     table = tb.finish()
     log(f"pass1 table: {len(table)} distinct kmers")
 
     # ---- pass 2: outgroup subtraction
     dead = (table.target <= 1) | (table.count >= MAXREP)
     for i, acc in enumerate(out_accs):
-        genome = resolver.load(acc, 2)
-        keys, _, _ = canonical_kmers(encode_bases(genome))
-        uk = np.unique(keys)
+        uk, _ = _unique_counts(acc, 2)
         idx = np.searchsorted(table.keys, uk)
         present = (idx < len(table)) & (table.keys[np.minimum(idx, len(table) - 1)] == uk)
         dead[idx[present]] = True
@@ -319,23 +393,36 @@ def build_probes(
 
     chunks: list[tuple[np.ndarray, ...]] = []
     cap = cfg.max_probes_per_target
-    for i in range(num_orgs):
-        if targno[i] <= 1:
+
+    def _fetch3(i):
+        if use_native:
+            path, kind = resolver.find(accession[i], 3)
+            return kn.genome_unique_first(path, kind)
+        return None
+
+    for i, res3 in _iter_prefetched(ingroup, _fetch3):
+        if res3 is not None:
+            # native: KEY-sorted unique with first-occurrence pos/strand —
+            # table lookups need no query sort at all
+            k1, p1, f1 = res3
+            tidx = np.searchsorted(table.keys, k1).astype(np.int64)
+        else:
+            genome = resolver.load(accession[i], 3)
+            keys, gpos, fwd = canonical_kmers(encode_bases(genome))
+            if len(keys) == 0:
+                continue
+            # first occurrence of each distinct key within this genome's order
+            _, first_idx = np.unique(keys, return_index=True)
+            first_idx.sort()
+            k1, p1, f1 = keys[first_idx], gpos[first_idx], fwd[first_idx]
+            # searchsorted with SORTED needles walks the table cache-coherently
+            # (~12x faster than genome-order queries at 160M keys); sort the
+            # queries, look up, and scatter the results back to genome order
+            korder = np.argsort(k1, kind="stable")
+            tidx = np.empty(len(k1), dtype=np.int64)
+            tidx[korder] = np.searchsorted(table.keys, k1[korder])
+        if len(k1) == 0:
             continue
-        genome = resolver.load(accession[i], 3)
-        keys, gpos, fwd = canonical_kmers(encode_bases(genome))
-        if len(keys) == 0:
-            continue
-        # first occurrence of each distinct key within this genome's order
-        _, first_idx = np.unique(keys, return_index=True)
-        first_idx.sort()
-        k1, p1, f1 = keys[first_idx], gpos[first_idx], fwd[first_idx]
-        # searchsorted with SORTED needles walks the table cache-coherently
-        # (~12x faster than genome-order queries at 160M keys); sort the
-        # queries, look up, and scatter the results back to genome order
-        korder = np.argsort(k1, kind="stable")
-        tidx = np.empty(len(k1), dtype=np.int64)
-        tidx[korder] = np.searchsorted(table.keys, k1[korder])
         present = (tidx < len(table)) & (
             table.keys[np.minimum(tidx, len(table) - 1)] == k1
         )
@@ -344,6 +431,14 @@ def build_probes(
         consumed[tidx[present]] = True
         cand = fresh & emittable[np.minimum(tidx, len(table) - 1)]
         ck, cp, cf, cti = k1[cand], p1[cand], f1[cand], tidx[cand]
+        if res3 is not None and len(cp) > 1:
+            # key-sorted -> genome-position order, the walk's domain (equal
+            # to the fallback's genome-order arrays: first-occurrence
+            # positions are distinct, so the permutation is unique)
+            o = kn.argsort_i32(cp)
+            if o is None:
+                o = np.argsort(cp, kind="stable")
+            ck, cp, cf, cti = ck[o], cp[o], cf[o], cti[o]
         ctarg = table.target[cti]
         # Greedy non-overlap emission (minpos advances only on emission,
         # kmer_build_vf6.cpp:620-627): precompute each candidate's jump
@@ -369,34 +464,48 @@ def build_probes(
             if n else np.zeros(0, np.int64)
         )
         ent_known = np.full(n, -1, dtype=np.int8)  # -1 unknown, 0 fail, 1 ok
+        ctarg32 = np.ascontiguousarray(ctarg, dtype=np.int32)
+        nxt64 = np.ascontiguousarray(nxt, dtype=np.int64)
+        run_next64 = np.ascontiguousarray(run_next, dtype=np.int64)
         while True:
             pcount_trial = pcount.copy()
-            emit_js: list[int] = []
-            j = 0
-            while j < n:
-                t = ctarg[j]
-                if pcount_trial[t] >= cap:
-                    j = int(run_next[j])  # whole same-target run is capped
-                    continue
-                if ent_known[j] != 0:
-                    emit_js.append(j)
-                    pcount_trial[t] += 1
-                    j = int(nxt[j])
-                    continue
-                # skipped candidates don't advance minpos
-                j += 1
-            unk = [jj for jj in emit_js if ent_known[jj] < 0]
-            if not unk:
+            e = (
+                kn.emit_walk(ctarg32, nxt64, run_next64, ent_known,
+                             pcount_trial, cap)
+                if use_native else None
+            )
+            if e is None:
+                emit_js: list[int] = []
+                j = 0
+                while j < n:
+                    t = ctarg[j]
+                    if pcount_trial[t] >= cap:
+                        j = int(run_next[j])  # whole same-target run is capped
+                        continue
+                    if ent_known[j] != 0:
+                        emit_js.append(j)
+                        pcount_trial[t] += 1
+                        j = int(nxt[j])
+                        continue
+                    # skipped candidates don't advance minpos
+                    j += 1
+                e = np.asarray(emit_js, dtype=np.int64)
+            u = e[ent_known[e] < 0] if len(e) else e
+            if len(u) == 0:
                 pcount = pcount_trial
                 break
-            u = np.asarray(unk, dtype=np.int64)
-            ok = check_entropy_keys(ck[u], cfg.min_entropy, cfg.max_homopolymer)
+            ok = None
+            if use_native:
+                ok = kn.check_entropy_keys(
+                    ck[u], cfg.min_entropy, cfg.max_homopolymer
+                )
+            if ok is None:
+                ok = check_entropy_keys(ck[u], cfg.min_entropy, cfg.max_homopolymer)
             ent_known[u] = ok.astype(np.int8)
             if ok.all():
                 pcount = pcount_trial
                 break
-        if emit_js:
-            e = np.asarray(emit_js, dtype=np.int64)
+        if len(e):
             chunks.append(
                 (
                     ck[e],
@@ -408,6 +517,9 @@ def build_probes(
                 )
             )
         log(f"3 {i} {num_orgs} {accession[i]}", level=2)
+
+    if ex is not None:
+        ex.shutdown(wait=True)
 
     def cat(col, dtype):
         if not chunks:

@@ -55,18 +55,23 @@ EMPTY_HI = np.uint32(0xFFFFFFFF)  # real key hi < 2^28
 # the (node, tout) lookup is a fast-zone gather by tin.
 # Block-Bloom pre-filter sizing.  The win is STRUCTURAL, not table-size
 # magic: one bloom row-gather per window replaces three L1/L2 row-gathers
-# plus a full-width candidate compaction — only the ~2.4% of windows that
-# pass ever touch the probe tables.  The chip's measured gather-rate curve
+# plus a full-width candidate compaction — only windows that pass ever
+# touch the probe tables.  The chip's measured gather-rate curve
 # (tools/gather_curve.py, r4: ~150-170 M rows/s under ~8 MB, then FLAT
-# ~70-77 M rows/s from 16 MB through 536 MB) says a 134 MB filter gathers
-# no slower than a 33 MB one, so the cap sits at 2^23 blocks = 134 MB —
-# enough for ~134M keys at 16/block, i.e. the real bact10 scale (~1e8
-# probes, README.md:12) runs WITH the filter on one chip (the r3 cap of
-# 2^21 silently disabled it there).  Sharded meshes still prefer
-# per-shard filters (parallel/fpsharded._shard_blooms): each shard's
-# filter holds only its own keys and drops back under the fast 8 MB zone.
-BLOOM_KEYS_PER_BLOCK = 16
-BLOOM_MAX_BLOCKS = 1 << 23  # 2^23 blocks * 16 B = 134 MB
+# ~70-77 M rows/s from 16 MB through 536 MB) says a 268 MB filter gathers
+# no slower than a 33 MB one, so block count is sized for 8 keys/block
+# (~0.25% false-pass at k=4 vs ~2.4% at the r4 16/block) and capped at
+# 2^24 blocks = 268 MB.  Past the cap the realized keys/block rises back
+# toward 16+ (the real bact10 scale, ~1e8 probes, lands at ~6/block well
+# under it).  The lower false-pass rate is what lets the engine compact
+# filter-passing windows to the narrower BLOOM_K=16 budget — the whole
+# candidate/verify pipeline scales with BLOOM_K, not window count.
+# Sharded meshes still prefer per-shard filters
+# (parallel/fpsharded._shard_blooms): each shard's filter holds only its
+# own keys and drops back under the fast 8 MB zone.
+BLOOM_KEYS_PER_BLOCK = 8
+BLOOM_MAX_BLOCKS = 1 << 24  # 2^24 blocks * 16 B = 268 MB
+_BLOOM_MAX_KEYS_PER_BLOCK = 32  # beyond this the filter passes too much to help
 # L1 bucket-count target: nb1 is snapped to a power of two, so the realized
 # load lands in (0.28, 0.56] after the halving rule below.  At load ~0.5 the
 # single-choice overflow fraction is ~2-3% (Poisson tail past 8 slots +
@@ -107,9 +112,8 @@ def fp_hashes(hi: np.ndarray, lo: np.ndarray, nb: int, s1: int, s2: int, s3: int
 
 
 BLOOM_BITS = 4  # bits set per key, all drawn from ONE mixed word (no extra
-# gathers — the whole 128-bit block rides in the single row fetch).  At 16
-# keys/block, k=4 gives ~2.4% false-pass vs ~6% at k=2, which is what lets
-# the engine compact filter-passing windows to a narrower BLOOM_K budget.
+# gathers — the whole 128-bit block rides in the single row fetch).  At the
+# 8-keys/block sizing, k=4 gives ~0.25% false-pass (~2.4% at 16/block).
 
 
 def bloom_hashes(hi: np.ndarray, lo: np.ndarray, nblk: int, s4: int, s5: int):
@@ -134,7 +138,11 @@ def bloom_blocks_for(n_keys: int) -> int | None:
     if n_keys <= 0:
         return None
     nblk = 1 << max(10, int(np.ceil(np.log2(n_keys / BLOOM_KEYS_PER_BLOCK))))
-    return nblk if nblk <= BLOOM_MAX_BLOCKS else None
+    if nblk > BLOOM_MAX_BLOCKS:
+        nblk = BLOOM_MAX_BLOCKS
+        if n_keys / nblk > _BLOOM_MAX_KEYS_PER_BLOCK:
+            return None
+    return nblk
 
 
 def build_bloom(hi: np.ndarray, lo: np.ndarray, s4: int, s5: int,
@@ -430,7 +438,7 @@ def save_fpdb(db: FpDB, out_dir) -> None:
     np.save(os.path.join(out_dir, "slot_target.npy"), db.slot_target)
     np.save(os.path.join(out_dir, "slot_idx.npy"), db.slot_idx)
     if db.bloom is not None:
-        np.save(os.path.join(out_dir, "bloom4.npy"), db.bloom)
+        np.save(os.path.join(out_dir, "bloom_b8.npy"), db.bloom)
     with open(os.path.join(out_dir, "fp_manifest.json"), "w") as f:
         json.dump(
             {
@@ -458,8 +466,8 @@ def load_fpdb(in_dir, mmap: bool = True) -> FpDB | None:
     def arr(name):
         return np.load(os.path.join(in_dir, f"{name}.npy"), mmap_mode=mode)
 
-    bpath = os.path.join(in_dir, "bloom4.npy")  # k=4-bit scheme;
-    # an old 2-bit bloom.npy is ignored and the filter re-derived
+    bpath = os.path.join(in_dir, "bloom_b8.npy")  # k=4, 8-keys/block scheme;
+    # older bloom.npy / bloom4.npy files are ignored and the filter re-derived
     rec = arr("rec")
     bloom = None
     if os.path.exists(bpath):

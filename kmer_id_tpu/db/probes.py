@@ -239,8 +239,28 @@ def _parse_probes_slow(path) -> ProbeRecords:
 
 
 def write_probes_text(records: ProbeRecords, path) -> None:
-    """Emit probe rows in the reference CSV format (builder output parity)."""
+    """Emit probe rows in the reference CSV format (builder output parity).
+
+    Key decoding takes the native batch path when available (db/native
+    km_keys_to_str; the per-key python join dominated multi-M-probe emission
+    time) — output bytes are identical either way."""
+    kstrs = None
+    try:
+        from kmer_id_tpu.db.native import keys_to_strings
+
+        kstrs = keys_to_strings(records.keys)
+    except Exception:
+        kstrs = None
     with _open_maybe_gz(path, "wt") as f:
+        if kstrs is not None:
+            strand = np.where(records.fstrand, "F", "R")
+            f.writelines(
+                f"{kstrs[i].decode()},{records.target[i]},"
+                f"{records.org[i]},{records.position[i]},"
+                f"{strand[i]},{records.count[i]}\n"
+                for i in range(len(records))
+            )
+            return
         for i in range(len(records)):
             f.write(
                 f"{key_to_string(records.keys[i])},{records.target[i]},"

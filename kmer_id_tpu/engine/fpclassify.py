@@ -71,13 +71,16 @@ def unpack_codes(packed: jax.Array, exc: jax.Array, l: int) -> jax.Array:
 
 
 FAST_HITS = 8  # two-tier verify: the fast tier's candidate budget
-BLOOM_K = 24  # Bloom path: per-read budget of filter-passing windows.  At
-# the k=4 filter's ~2.4% false-pass over <= ~350 windows plus a handful of
-# true probes, the per-read pass count is Poisson-ish with mean << 10, so
-# P(any read of a batch exceeding 24) is negligible — and every unit of
+BLOOM_K = 12  # Bloom path: per-read budget of filter-passing windows.  At
+# the 8-keys/block filter's ~0.25% false-pass over <= ~350 windows plus a
+# handful of true probes (>= 31 bases apart per genome), the per-read pass
+# count is (bounded true: probes sit >= 31 bases apart per genome, so a
+# 150 bp read carries <= ~4-5 per matching genome) + Poisson(~0.3) false,
+# so P(any read of a batch exceeding 12) is negligible — and every unit of
 # budget is ~3 narrow L1/L2 candidate gather lanes, the stage this cap
-# sizes (tools/kernel_profile.py).  Overflowing batches fall back to the
-# probe-every-window path, which stays exact.
+# sizes (tools/kernel_profile.py; r4 ran 24 at the old 2.4% filter).
+# Probe-dense reads (conserved multi-genome regions) overflow the budget
+# and flip their batch to the probe-every-window path, which stays exact.
 LONG_HITS = 8  # long-read lane: per-chunk verified-hit budget (chunks carry
 # few probes — the reference builder spaces probes >= 31 bases apart — and a
 # narrow budget shrinks the summary D2H plane; overflow chunks replay exact)
@@ -467,6 +470,19 @@ def _ucount_device(seen, node, num_targ: int):
     return onehot_hist(m, node, num_targ)
 
 
+@partial(jax.jit, static_argnames=("num_targ",))
+def _ucount_device_scatter(seen, node, num_targ: int):
+    """Exact-at-any-scale scatter-add fallback: used when some target owns
+    >= 2^24 slots, past f32's exact-integer range in onehot_hist (the
+    builder caps probes at 100k/target, kmer_build_vf6.cpp:41, but an
+    externally built DB need not)."""
+    m = ((seen > 0) & (node > 1)).astype(jnp.int32)
+    idx = jnp.clip(node, 0, num_targ - 1)
+    return jnp.zeros((num_targ,), jnp.int32).at[idx].add(
+        m, mode="promise_in_bounds"
+    )
+
+
 class FpClassifier:
     """Drop-in engine with the Classifier outer API (engine/classify.py):
     ``new_seen`` / ``submit_batch`` / ``collect`` / ``process_batch`` /
@@ -520,6 +536,14 @@ class FpClassifier:
         if f.bloom is not None and _os.environ.get("KMER_BLOOM", "1") != "0":
             self._db["bloom"] = jnp.asarray(np.ascontiguousarray(f.bloom))
         self._slot_node = None  # [nslots] device target-node map (lazy)
+        # onehot_hist is exact only while every per-target slot count stays
+        # under f32's 2^24 exact-integer range; guaranteed for builder output
+        # (100k-probe/target cap) but not for externally loaded DBs — those
+        # take the scatter-add finalize instead.
+        st = self.slot_target
+        self._ucount_onehot_ok = bool(
+            np.bincount(st[st > 1], minlength=1).max(initial=0) < (1 << 24)
+        )
 
     # ------------------------------------------------------------ state
     def new_seen(self) -> jax.Array:
@@ -761,5 +785,6 @@ class FpClassifier:
     def ucount(self, seen) -> np.ndarray:
         if self._slot_node is None:  # one-time device pass, reused per sample
             self._slot_node = _slot_nodes(self._db["rec"], self._db["tinfo"])
-        u = _ucount_device(seen, self._slot_node, num_targ=self.num_targ)
+        fn = _ucount_device if self._ucount_onehot_ok else _ucount_device_scatter
+        u = fn(seen, self._slot_node, num_targ=self.num_targ)
         return np.asarray(u).astype(np.int64)

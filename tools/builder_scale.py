@@ -8,8 +8,12 @@ tool generates a corpus of multi-Mb genomes (default 200 x 5 Mb = 1 Gbase,
 the scale of ~200 bacterial genomes), runs BOTH builders, and reports wall
 time per pass, peak RSS, and probe-output equality — the numbers VERDICT r3
 missing item #2 asked for.  The reference binary is compiled UNMODIFIED
-except MAXHASH 2^35 -> 2^32 (a memory-size-only constant: 16 GiB instead of
-128 GiB; semantics at this key count are identical — load stays < 0.25).
+except MAXHASH 2^35 -> 2^32 (16 GiB instead of 128 GiB).  NOTE: the shrink
+is NOT semantics-free — the reference's value-only table merges colliding
+keys, and 8x fewer cells raises its collision rate ~16x (~3.7% of keys at
+a 1 Gbase corpus), which changes its probe emissions; probe byte-equality
+therefore holds only on the collision-free golden tests, while count.txt
+equality is asserted per-run here (SCALE.md §2 root-causes the diff).
 
 Results: printed JSON + committed to SCALE.md by the author.
 
