@@ -435,7 +435,12 @@ def _our_throughput(meta) -> tuple[float, dict]:
         "reads": int(meta["n_reads"]),
         "db_probes": int(len(db.packed)),
         "classified_pct": round(float(classified), 1),
+        # hbm_bytes_in_use is MEASURED (device.memory_stats) when the
+        # platform exposes it; 0 + estimated=true means axon hides memory
+        # stats and device_table_bytes is a computed static floor, not a
+        # measurement (VERDICT r4 weak #8)
         "hbm_bytes_in_use": hbm,
+        "hbm_estimated": bool(hbm == 0),
         "device_table_bytes": tables,
         "long_read_mbase_per_s": round(lbps / 1e6, 2),
         **conc,

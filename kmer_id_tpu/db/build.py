@@ -401,44 +401,48 @@ def build_probes(
         return None
 
     for i, res3 in _iter_prefetched(ingroup, _fetch3):
+        got = None
         if res3 is not None:
-            # native: KEY-sorted unique with first-occurrence pos/strand —
-            # table lookups need no query sort at all
+            # native: KEY-sorted unique first-occurrence queries; ONE call
+            # does galloping lookup + destructive consume + fresh/emittable
+            # gates + genome-position reorder (mutates ``consumed``)
             k1, p1, f1 = res3
-            tidx = np.searchsorted(table.keys, k1).astype(np.int64)
-        else:
-            genome = resolver.load(accession[i], 3)
-            keys, gpos, fwd = canonical_kmers(encode_bases(genome))
-            if len(keys) == 0:
+            if len(k1) == 0:
                 continue
-            # first occurrence of each distinct key within this genome's order
-            _, first_idx = np.unique(keys, return_index=True)
-            first_idx.sort()
-            k1, p1, f1 = keys[first_idx], gpos[first_idx], fwd[first_idx]
+            got = kn.pass3_candidates(
+                table.keys, consumed, emittable, k1, p1, f1
+            )
+        if got is not None:
+            ck, cp, cf, cti = got
+        else:
+            if res3 is None:
+                genome = resolver.load(accession[i], 3)
+                keys, gpos, fwd = canonical_kmers(encode_bases(genome))
+                if len(keys) == 0:
+                    continue
+                # first occurrence of each distinct key in this genome's order
+                _, first_idx = np.unique(keys, return_index=True)
+                first_idx.sort()
+                k1, p1, f1 = keys[first_idx], gpos[first_idx], fwd[first_idx]
             # searchsorted with SORTED needles walks the table cache-coherently
             # (~12x faster than genome-order queries at 160M keys); sort the
             # queries, look up, and scatter the results back to genome order
             korder = np.argsort(k1, kind="stable")
             tidx = np.empty(len(k1), dtype=np.int64)
             tidx[korder] = np.searchsorted(table.keys, k1[korder])
-        if len(k1) == 0:
-            continue
-        present = (tidx < len(table)) & (
-            table.keys[np.minimum(tidx, len(table) - 1)] == k1
-        )
-        fresh = present & ~consumed[np.minimum(tidx, len(table) - 1)]
-        # destructive getHash: every queried present key is consumed
-        consumed[tidx[present]] = True
-        cand = fresh & emittable[np.minimum(tidx, len(table) - 1)]
-        ck, cp, cf, cti = k1[cand], p1[cand], f1[cand], tidx[cand]
-        if res3 is not None and len(cp) > 1:
-            # key-sorted -> genome-position order, the walk's domain (equal
-            # to the fallback's genome-order arrays: first-occurrence
-            # positions are distinct, so the permutation is unique)
-            o = kn.argsort_i32(cp)
-            if o is None:
+            present = (tidx < len(table)) & (
+                table.keys[np.minimum(tidx, len(table) - 1)] == k1
+            )
+            fresh = present & ~consumed[np.minimum(tidx, len(table) - 1)]
+            # destructive getHash: every queried present key is consumed
+            consumed[tidx[present]] = True
+            cand = fresh & emittable[np.minimum(tidx, len(table) - 1)]
+            ck, cp, cf, cti = k1[cand], p1[cand], f1[cand], tidx[cand]
+            if not np.all(cp[1:] >= cp[:-1]):
+                # key-sorted queries: restore genome-position order (the
+                # walk's domain; first-occurrence positions are distinct)
                 o = np.argsort(cp, kind="stable")
-            ck, cp, cf, cti = ck[o], cp[o], cf[o], cti[o]
+                ck, cp, cf, cti = ck[o], cp[o], cf[o], cti[o]
         ctarg = table.target[cti]
         # Greedy non-overlap emission (minpos advances only on emission,
         # kmer_build_vf6.cpp:620-627): precompute each candidate's jump

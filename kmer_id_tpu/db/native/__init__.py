@@ -71,6 +71,11 @@ def get_lib():
     lib.km_emit_walk.argtypes = [p, p, p, p, p, i32, i64, p]
     lib.km_merge_runs.restype = i64
     lib.km_merge_runs.argtypes = [i32, p, p, p, p, p, p, i32, p, p, p]
+    lib.km_pass3_candidates.restype = i64
+    lib.km_pass3_candidates.argtypes = [p, i64, p, p, p, p, p, i64,
+                                        p, p, p, p]
+    lib.km_write_probes.restype = i32
+    lib.km_write_probes.argtypes = [ctypes.c_char_p, p, p, p, p, p, p, i64]
     _lib = lib
     return _lib
 
@@ -234,6 +239,51 @@ def merge_runs(runs, parent: np.ndarray, depth: np.ndarray, maxrep: int
                           _ptr(depth), int(maxrep), _ptr(ok), _ptr(oc),
                           _ptr(ot))
     return ok[:n], oc[:n], ot[:n]
+
+
+def pass3_candidates(table_keys: np.ndarray, consumed: np.ndarray,
+                     emittable: np.ndarray, uk: np.ndarray, up: np.ndarray,
+                     uf: np.ndarray):
+    """Galloping sorted lookup + destructive consume + fresh/emittable gates
+    + genome-position reorder (db/build pass 3 twin).  MUTATES ``consumed``.
+    Returns (ck, cp, cf, cti) pos-ordered, or None without the library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    assert table_keys.dtype == np.uint64 and consumed.dtype == np.bool_
+    assert emittable.dtype == np.bool_ and uk.dtype == np.uint64
+    n = len(uk)
+    ck = np.empty(n, dtype=np.uint64)
+    cp = np.empty(n, dtype=np.int32)
+    cf = np.empty(n, dtype=np.uint8)
+    cti = np.empty(n, dtype=np.int64)
+    up = np.ascontiguousarray(up, dtype=np.int32)
+    uf8 = np.ascontiguousarray(uf, dtype=np.uint8)
+    m = lib.km_pass3_candidates(
+        _ptr(table_keys), len(table_keys), _ptr(consumed), _ptr(emittable),
+        _ptr(uk), _ptr(up), _ptr(uf8), n, _ptr(ck), _ptr(cp), _ptr(cf),
+        _ptr(cti),
+    )
+    return ck[:m], cp[:m], cf[:m].astype(bool), cti[:m]
+
+
+def write_probes(path: str, keys, target, org, position, fstrand, count
+                 ) -> bool:
+    """Native probe-text writer (plain text only); False -> caller falls
+    back to the Python writer."""
+    lib = get_lib()
+    if lib is None or str(path).endswith(".gz"):
+        return False
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    target = np.ascontiguousarray(target, dtype=np.int32)
+    org = np.ascontiguousarray(org, dtype=np.int32)
+    position = np.ascontiguousarray(position, dtype=np.int32)
+    fstrand = np.ascontiguousarray(fstrand, dtype=np.uint8)
+    count = np.ascontiguousarray(count, dtype=np.int32)
+    r = lib.km_write_probes(str(path).encode(), _ptr(keys), _ptr(target),
+                            _ptr(org), _ptr(position), _ptr(fstrand),
+                            _ptr(count), len(keys))
+    return r == 0
 
 
 def emit_walk(ctarg: np.ndarray, nxt: np.ndarray, run_next: np.ndarray,

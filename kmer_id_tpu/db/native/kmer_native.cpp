@@ -441,6 +441,100 @@ int64_t km_merge_runs(int32_t nruns, const uint64_t** keys,
   return out + 1;
 }
 
+// Pass-3 per-genome candidate prep (db/build.build_probes): galloping
+// sorted-vs-sorted lookup of the genome's first-occurrence keys in the
+// consolidated table, destructive consume, fresh/emittable gating, and
+// genome-position reordering — one call replacing searchsorted + four
+// boolean compressions + the position argsort.
+int64_t km_pass3_candidates(const uint64_t* tk, int64_t T, uint8_t* consumed,
+                            const uint8_t* emittable, const uint64_t* uk,
+                            const int32_t* up, const uint8_t* uf, int64_t n,
+                            uint64_t* ck, int32_t* cp, uint8_t* cf,
+                            int64_t* cti) {
+  int64_t out = 0;
+  int64_t lo = 0;
+  for (int64_t i = 0; i < n; i++) {
+    uint64_t k = uk[i];
+    // gallop forward from the previous match position (queries are sorted)
+    int64_t step = 1, hi = lo;
+    while (hi < T && tk[hi] < k) {
+      lo = hi + 1;
+      hi = lo + step;
+      step <<= 1;
+    }
+    if (hi > T) hi = T;
+    // binary search in (lo-1, hi]
+    while (lo < hi) {
+      int64_t mid = (lo + hi) >> 1;
+      if (tk[mid] < k) lo = mid + 1;
+      else hi = mid;
+    }
+    if (lo < T && tk[lo] == k) {
+      bool fresh = !consumed[lo];
+      consumed[lo] = 1;  // destructive getHash: consumed on ANY query
+      if (fresh && emittable[lo]) {
+        ck[out] = k;
+        cp[out] = up[i];
+        cf[out] = uf[i];
+        cti[out] = lo;
+        out++;
+      }
+    }
+  }
+  // reorder by genome position (radix argsort on cp, then permute)
+  if (out > 1) {
+    std::vector<uint64_t> keys(out);
+    std::vector<int64_t> idx(out);
+    for (int64_t i = 0; i < out; i++) {
+      keys[i] = (uint64_t)(uint32_t)cp[i];
+      idx[i] = i;
+    }
+    radix_sort_u64<int64_t>(keys.data(), idx.data(), out);
+    std::vector<uint64_t> tck(ck, ck + out);
+    std::vector<int32_t> tcp(cp, cp + out);
+    std::vector<uint8_t> tcf(cf, cf + out);
+    std::vector<int64_t> tcti(cti, cti + out);
+    for (int64_t i = 0; i < out; i++) {
+      int64_t j = idx[i];
+      ck[i] = tck[j];
+      cp[i] = tcp[j];
+      cf[i] = tcf[j];
+      cti[i] = tcti[j];
+    }
+  }
+  return out;
+}
+
+// Probe-text emission (db/probes.write_probes_text twin, plain-text only):
+// "KMERSTR,target,org,position,strand,count\n" per row.  Returns 0 on
+// success, -1 on open/write failure.
+int32_t km_write_probes(const char* path, const uint64_t* keys,
+                        const int32_t* target, const int32_t* org,
+                        const int32_t* position, const uint8_t* fstrand,
+                        const int32_t* count, int64_t n) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  static const char B[4] = {'A', 'C', 'G', 'T'};
+  std::vector<char> buf(1 << 20);
+  setvbuf(f, buf.data(), _IOFBF, buf.size());
+  char line[128];
+  for (int64_t i = 0; i < n; i++) {
+    uint64_t k = keys[i];
+    for (int j = KSIZE - 1; j >= 0; j--) {
+      line[j] = B[k & 3];
+      k >>= 2;
+    }
+    int m = snprintf(line + KSIZE, sizeof(line) - KSIZE, ",%d,%d,%d,%c,%d\n",
+                     target[i], org[i], position[i], fstrand[i] ? 'F' : 'R',
+                     count[i]);
+    if (fwrite(line, 1, KSIZE + m, f) != (size_t)(KSIZE + m)) {
+      fclose(f);
+      return -1;
+    }
+  }
+  return fclose(f) == 0 ? 0 : -1;
+}
+
 // Emission chain walk (db/build.build_probes pass-3 inner loop).
 // pcount is MUTATED (caller passes its trial copy).  Returns emit count.
 int64_t km_emit_walk(const int32_t* ctarg, const int64_t* nxt,

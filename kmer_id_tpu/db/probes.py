@@ -244,10 +244,12 @@ def write_probes_text(records: ProbeRecords, path) -> None:
     Key decoding takes the native batch path when available (db/native
     km_keys_to_str; the per-key python join dominated multi-M-probe emission
     time) — output bytes are identical either way."""
-    kstrs = None
     try:
-        from kmer_id_tpu.db.native import keys_to_strings
+        from kmer_id_tpu.db.native import keys_to_strings, write_probes
 
+        if write_probes(path, records.keys, records.target, records.org,
+                        records.position, records.fstrand, records.count):
+            return
         kstrs = keys_to_strings(records.keys)
     except Exception:
         kstrs = None

@@ -180,8 +180,28 @@ class SampleProcessor:
 
         from kmer_id_tpu.utils.timing import StageTimers
 
+        # Multi-process data-parallel feed (sharded engines under
+        # jax.distributed): every process decodes the whole stream — cheap
+        # next to classification — slices each batch to the rows its data
+        # shards own, and collects the FULL finals via collect_global, so
+        # gcount and the ordered saved-read capture stay identical on every
+        # process; process 0 writes the outputs (drivers pass reads_out
+        # only there).
+        import jax as _jax
+
+        self._mp_rows = None
+        if _jax.process_count() > 1 and hasattr(clf, "local_data_rows"):
+            self._mp_rows = clf.local_data_rows()
+
         self._inflight = deque()  # futures of the collector thread, FIFO
         self.pipeline_depth = 4  # collector jobs in flight hides latency
+        if self._mp_rows is not None:
+            # Multi-process runs must issue every collective in the SAME
+            # global order on every process (jax.distributed rendezvous);
+            # async collector jobs would interleave submit/collect
+            # nondeterministically per process and deadlock the mesh, so
+            # the pipeline degrades to strict submit -> collect per batch.
+            self.pipeline_depth = 0
         # Grouped collection: the finals of collect_group batches are
         # fetched in ONE device->host roundtrip (engines exposing
         # collect_many; ~25 ms/fetch over the tunnel otherwise —
@@ -281,12 +301,27 @@ class SampleProcessor:
             self._flush_group()  # account order = read order
             self._inflight.append(self._collector.submit(self._long_job, item))
         else:
-            self.seen, pending = self.clf.submit_batch(self.seen, item)
+            self.seen, pending = self._submit(item)
             self._group.append((pending, item))
             if len(self._group) >= self.collect_group:
                 self._flush_group()
         while len(self._inflight) > self.pipeline_depth:
             self._inflight.popleft().result()
+
+    def _submit(self, batch: Batch):
+        """Engine submit; multi-process mode feeds the process-local row
+        slice through make_global_batch (see __init__)."""
+        if self._mp_rows is None:
+            return self.clf.submit_batch(self.seen, batch)
+        import dataclasses
+
+        cg, lg = self.clf.make_global_batch(
+            np.ascontiguousarray(batch.codes[self._mp_rows]),
+            np.ascontiguousarray(batch.lengths[self._mp_rows]),
+        )
+        gb = dataclasses.replace(batch, codes=cg, lengths=lg,
+                                 packed=None, exc=None)
+        return self.clf.submit_batch(self.seen, gb)
 
     def _flush_group(self) -> None:
         if self._group:
@@ -295,8 +330,13 @@ class SampleProcessor:
 
     def _group_job(self, grp) -> None:
         if len(grp) == 1 or not hasattr(self.clf, "collect_many"):
+            collect = (
+                self.clf.collect_global
+                if self._mp_rows is not None
+                else self.clf.collect
+            )
             for pending, batch in grp:
-                self.seen_ovr, finals = self.clf.collect(self.seen_ovr, pending)
+                self.seen_ovr, finals = collect(self.seen_ovr, pending)
                 self._account_batch(finals[: batch.n_rows], batch.metas)
             return
         self.seen_ovr, finals_list = self.clf.collect_many(
@@ -306,6 +346,12 @@ class SampleProcessor:
             self._account_batch(finals, batch.metas)
 
     def _long_job(self, item: LongRead) -> None:
+        if self._mp_rows is not None:
+            raise NotImplementedError(
+                "long reads (> max_len) are not yet supported in the "
+                "multi-process data-parallel driver; raise max_len or run "
+                "the sample queue split (one process per sample) instead"
+            )
         self.seen_ovr, final = self.clf.process_long(self.seen_ovr, item)
         self._account(int(final), item.meta)
 
@@ -316,11 +362,17 @@ class SampleProcessor:
         batch = nb.batch
         if not nb.long_rows:
             # plain native batch: joins the grouped-fetch lane
-            self.seen, pending = self.clf.submit_batch(self.seen, batch)
+            self.seen, pending = self._submit(batch)
             self._group.append((pending, batch))
             if len(self._group) >= self.collect_group:
                 self._flush_group()
         else:
+            if self._mp_rows is not None:
+                raise NotImplementedError(
+                    "long reads (> max_len) are not yet supported in the "
+                    "multi-process data-parallel driver; raise max_len or "
+                    "run the sample queue split instead"
+                )
             for r in nb.long_rows:
                 batch.lengths[r] = 0  # placeholder row: long path below
             self._flush_group()  # account order = read order
@@ -417,14 +469,18 @@ class SampleProcessor:
                 rank_unsorted = np.empty(len(sf), dtype=np.int64)
                 rank_unsorted[order] = rank
                 before = self.gcount[ff] + rank_unsorted
-                save_main_rows = gt1[(before < cfg.savenum)] if want_main else []
-                save_targ_rows = gt1[ff == cfg.save_target] if want_target else []
-                for i in sorted(set(list(save_main_rows)) | set(list(save_targ_rows))):
+                main_set = set(
+                    gt1[(before < cfg.savenum)].tolist() if want_main else ()
+                )
+                targ_set = set(
+                    gt1[ff == cfg.save_target].tolist() if want_target else ()
+                )
+                for i in sorted(main_set | targ_set):
                     meta = metas[int(i)]
                     line = f">{finals[i]}:{meta.acc}\n{meta.trimmed_seq}\n"
-                    if want_main and i in set(list(save_main_rows)):
+                    if i in main_set:
                         self.reads_out.write(line)
-                    if want_target and i in set(list(save_targ_rows)):
+                    if i in targ_set:
                         self.target_reads_out.write(line)
         np.add.at(self.gcount, f, 1)
         self.reads += n
@@ -465,6 +521,16 @@ def write_result(path: str, result: SampleResult) -> None:
 # ----------------------------------------------------------------- drivers
 
 
+def _is_main_process() -> bool:
+    """True on the output-writing process (process 0 under jax.distributed;
+    always True single-process).  Multi-process drivers run the identical
+    sample loop everywhere — collectives require it — but only the main
+    process writes result/reads files and the resume manifest."""
+    import jax
+
+    return jax.process_count() == 1 or jax.process_index() == 0
+
+
 def run_nx(
     fastq_dir: str,
     db: LoadedDB,
@@ -484,11 +550,16 @@ def run_nx(
     data directory)."""
     cfg = cfg or ClassifyConfig.preset("nx")
     clf = clf or make_classifier(db, cfg)
+    import jax as _jax
+
+    main = _is_main_process()
     prefixes = []
     for name in os.listdir(fastq_dir):
         pos = name.find(e1)
         if pos != -1:
             prefixes.append(name[:pos])
+    if _jax.process_count() > 1:
+        prefixes.sort()  # every process must walk samples in the same order
     manifest_path = os.path.join(fastq_dir, ".kmer_id_tpu_done.json")
     done: set[str] = set()
     if resume and os.path.exists(manifest_path):
@@ -500,8 +571,8 @@ def run_nx(
             log(f"sample {prefix}: already done, skipping (resume)")
             continue
         rpath = os.path.join(fastq_dir, prefix + "_reads.txt")
-        with open(rpath, "w") as reads_out:
-            sp = SampleProcessor(clf, cfg, reads_out=reads_out)
+        with open(rpath if main else os.devnull, "w") as reads_out:
+            sp = SampleProcessor(clf, cfg, reads_out=reads_out if main else None)
             if fasta_mode:
                 sp.feed_file(os.path.join(fastq_dir, prefix + e1), fmt="fasta")
             else:
@@ -510,9 +581,10 @@ def run_nx(
                 if os.path.exists(r2):
                     sp.feed_file(r2, fmt="fastq_gz")
             result = sp.finish()
-        write_result(os.path.join(fastq_dir, prefix + "_result.txt"), result)
+        if main:
+            write_result(os.path.join(fastq_dir, prefix + "_result.txt"), result)
         log(f"sample {prefix}: {result.reads} reads")
-        if metrics_path:
+        if metrics_path and main:
             from kmer_id_tpu.utils.timing import write_metrics_json
 
             write_metrics_json(
@@ -523,8 +595,9 @@ def run_nx(
                 stages=result.stage_s,
             )
         done.add(prefix)
-        with open(manifest_path, "w") as f:
-            json.dump(sorted(done), f)
+        if main:
+            with open(manifest_path, "w") as f:
+                json.dump(sorted(done), f)
         processed.append(prefix)
     return processed
 
@@ -568,11 +641,12 @@ def run_vf6(
     jdir = os.path.join(root, jname)
     jnames, fnames = load_jobs(os.path.join(jdir, jname + ".txt"))
     log(f"{len(jnames)} jobs")
+    main = _is_main_process()
     for jstr, files in zip(jnames, fnames):
-        r_out = open(os.path.join(jdir, jstr + "_reads.txt"), "w")
+        r_out = open(os.path.join(jdir, jstr + "_reads.txt"), "w") if main else None
         t_out = (
             open(os.path.join(jdir, jstr + "_target_reads.txt"), "w")
-            if cfg.save_target > 0
+            if cfg.save_target > 0 and main
             else None
         )
         try:
@@ -581,10 +655,12 @@ def run_vf6(
                 sp.feed_file(fl)
             result = sp.finish()
         finally:
-            r_out.close()
+            if r_out:
+                r_out.close()
             if t_out:
                 t_out.close()
-        write_result(os.path.join(jdir, jstr + "_result.txt"), result)
+        if main:
+            write_result(os.path.join(jdir, jstr + "_result.txt"), result)
         log(f"job {jstr}: {result.reads} reads")
     return jnames
 

@@ -489,6 +489,57 @@ class ShardedFpClassifier:
             lambda idx: np.zeros(np.zeros(shape, np.int8)[idx].shape, np.int8),
         )
 
+    def local_data_rows(self) -> np.ndarray:
+        """Global batch rows whose data shards THIS process holds, ascending.
+
+        The multi-process driver slices its decoded [B, L] plane to these
+        rows before :meth:`make_global_batch` (every process decodes the
+        whole stream — cheap next to classification — and classifies only
+        its slice)."""
+        shape = (self.batch_size, self.max_len)
+        rows: list[np.ndarray] = []
+        starts: set[int] = set()
+        for d, idx in self._data_sh.devices_indices_map(shape).items():
+            if d.process_index != jax.process_index():
+                continue
+            sl = idx[0]
+            start = sl.start or 0
+            if start in starts:
+                continue  # replicated db axis: same data rows
+            starts.add(start)
+            stop = sl.stop if sl.stop is not None else self.batch_size
+            rows.append(np.arange(start, stop))
+        return np.sort(np.concatenate(rows))
+
+    def collect_global(self, seen, pending: _Pending):
+        """Multi-process collect that returns the FULL finals vector on
+        every process (one small host all-gather per batch), so the driver's
+        read-order accounting — gcount, first-SAVENUM read capture — runs
+        identically everywhere and process 0 can write the reference-format
+        outputs.  Single-process calls fall through to :meth:`collect`."""
+        if jax.process_count() == 1:
+            return self.collect(seen, pending)
+        from jax.experimental import multihost_utils as mhu
+
+        rows, arr = _local_rows(pending.finals)
+        overflow = (arr & (1 << 30)) != 0
+        finals = (arr & ~np.int32(1 << 30)).astype(np.int32)
+        if int(pending.ovr_any) > 0:
+            seen, tgt_g = self._call(
+                self._step_targets, seen, pending.batch.codes,
+                pending.batch.lengths,
+            )
+            trows, tgt = _local_rows(tgt_g)
+            by_row = {int(r): tgt[i] for i, r in enumerate(trows)}
+            for i in np.nonzero(overflow)[0]:
+                t = by_row[int(rows[i])]
+                finals[i] = fold_host(self.taxonomy, t[t > 0])
+        gr = np.asarray(mhu.process_allgather(rows)).reshape(-1)
+        gf = np.asarray(mhu.process_allgather(finals)).reshape(-1)
+        out = np.zeros(self.batch_size, dtype=np.int32)
+        out[gr] = gf
+        return seen, out[: pending.n_rows]
+
     def make_global_batch(self, local_codes, local_lengths):
         """Process-local batch rows -> global P("data")-sharded arrays.
 
@@ -605,7 +656,12 @@ class ShardedFpClassifier:
         """Per-target unique-k-mer counts, computed IN the mesh (see
         ``ucount_dev``); only the replicated [num_targ] vector crosses
         device->host, on every process."""
-        if isinstance(seen, jax.Array) and seen.sharding == self._seen_sh:
+        if isinstance(seen, jax.Array):
+            # any device bitmap takes the in-mesh path — sharding-equality
+            # checks are too brittle (jnp.maximum of two P("data","db")
+            # arrays can come back with an equivalent-but-unequal sharding
+            # object, and under jax.distributed the host fallback below
+            # cannot even fetch the global array)
             return np.asarray(self._ucount_dev(
                 self._rec, self._tinfo, seen
             )).astype(np.int64)
