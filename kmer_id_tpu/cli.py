@@ -72,6 +72,10 @@ def main(argv=None):
     b.add_argument("-fadir", default="")
     b.add_argument("-outdir", default="")
     b.add_argument("--root", default=".")
+    b.add_argument("--spill", action="store_true",
+                   help="disk-spilled bounded-memory build (corpus-scale DBs)")
+    b.add_argument("--spill-shard-bits", type=int, default=6)
+    b.add_argument("--spill-batch-mb", type=int, default=1024)
 
     nx = sub.add_parser("classify-nx", help="batch-classify paired samples in a dir")
     nx.add_argument("fastq_dir")
@@ -160,9 +164,18 @@ def main(argv=None):
             raise SystemExit(f"device health check failed: {h}")
 
     if args.cmd == "build-db":
-        from kmer_id_tpu.db.build import build_probes
+        if args.spill:
+            from kmer_id_tpu.db.spill import build_probes_spill
 
-        res = build_probes(args.name, args.fadir, args.outdir, root=args.root)
+            res = build_probes_spill(
+                args.name, args.fadir, args.outdir, root=args.root,
+                shard_bits=args.spill_shard_bits,
+                batch_bytes=args.spill_batch_mb << 20,
+            )
+        else:
+            from kmer_id_tpu.db.build import build_probes
+
+            res = build_probes(args.name, args.fadir, args.outdir, root=args.root)
         log(f"built {len(res.records)} probes over {res.num_targ} targets")
         return 0
 

@@ -230,6 +230,88 @@ class GenomeResolver:
         return load_genome_contigs(path)
 
 
+
+def _walk_emit(ck, cp, cf, ctarg, ccount, org_idx, pcount, cap, cfg,
+               use_native, chunks):
+    """Greedy non-overlap emission over ONE genome's gate-passing candidates
+    (position-ordered), shared by the in-RAM and disk-spill builders.
+
+    Non-overlap minpos advances only on emission (kmer_build_vf6.cpp:620-627):
+    each candidate's jump target (first candidate with position > cp + KSIZE)
+    is precomputed so the chain walk costs O(#emissions) hops; equal-target
+    runs skip in one hop once their target hits the per-target cap; the
+    entropy filter is evaluated LAZILY on walk-visited candidates only (a
+    failure alters the chain downstream, so re-walk until the visited set is
+    fully vetted — converges in 1 + #failures rounds).  MUTATES nothing;
+    returns the updated pcount and appends this genome's emission chunk.
+    """
+    from kmer_id_tpu.db import native as kn
+
+    nxt = np.searchsorted(cp, cp + KSIZE, side="right")
+    n = len(ck)
+    run_last = np.flatnonzero(
+        np.concatenate([ctarg[1:] != ctarg[:-1], [True]])
+    ) if n else np.zeros(0, np.int64)
+    run_next = (
+        np.repeat(run_last + 1, np.diff(np.concatenate([[0], run_last + 1])))
+        if n else np.zeros(0, np.int64)
+    )
+    ent_known = np.full(n, -1, dtype=np.int8)  # -1 unknown, 0 fail, 1 ok
+    ctarg32 = np.ascontiguousarray(ctarg, dtype=np.int32)
+    nxt64 = np.ascontiguousarray(nxt, dtype=np.int64)
+    run_next64 = np.ascontiguousarray(run_next, dtype=np.int64)
+    while True:
+        pcount_trial = pcount.copy()
+        e = (
+            kn.emit_walk(ctarg32, nxt64, run_next64, ent_known,
+                         pcount_trial, cap)
+            if use_native else None
+        )
+        if e is None:
+            emit_js: list[int] = []
+            j = 0
+            while j < n:
+                t = ctarg[j]
+                if pcount_trial[t] >= cap:
+                    j = int(run_next[j])  # whole same-target run is capped
+                    continue
+                if ent_known[j] != 0:
+                    emit_js.append(j)
+                    pcount_trial[t] += 1
+                    j = int(nxt[j])
+                    continue
+                # skipped candidates don't advance minpos
+                j += 1
+            e = np.asarray(emit_js, dtype=np.int64)
+        u = e[ent_known[e] < 0] if len(e) else e
+        if len(u) == 0:
+            pcount = pcount_trial
+            break
+        ok = None
+        if use_native:
+            ok = kn.check_entropy_keys(
+                ck[u], cfg.min_entropy, cfg.max_homopolymer
+            )
+        if ok is None:
+            ok = check_entropy_keys(ck[u], cfg.min_entropy, cfg.max_homopolymer)
+        ent_known[u] = ok.astype(np.int8)
+        if ok.all():
+            pcount = pcount_trial
+            break
+    if len(e):
+        chunks.append(
+            (
+                ck[e],
+                ctarg[e].astype(np.int32),
+                np.full(len(e), org_idx, dtype=np.int32),
+                cp[e].astype(np.int32),
+                cf[e].astype(bool),
+                ccount[e].astype(np.int32),
+            )
+        )
+    return pcount
+
+
 # ------------------------------------------------------------ main builder
 
 
@@ -444,82 +526,10 @@ def build_probes(
                 o = np.argsort(cp, kind="stable")
                 ck, cp, cf, cti = ck[o], cp[o], cf[o], cti[o]
         ctarg = table.target[cti]
-        # Greedy non-overlap emission (minpos advances only on emission,
-        # kmer_build_vf6.cpp:620-627): precompute each candidate's jump
-        # target (first candidate with position > cp + KSIZE) so the chain
-        # walk costs O(#emissions) scalar hops, not O(#candidates) python
-        # work — the former round's per-candidate loop dominated multi-k-
-        # genome rebuild time.  The entropy filter is evaluated LAZILY on
-        # walk-visited candidates only (~#emissions, not every candidate;
-        # a failure alters the chain downstream, so re-walk until the
-        # visited set is fully vetted — converges in 1 + #failures rounds).
-        nxt = np.searchsorted(cp, cp + KSIZE, side="right")
-        n = len(ck)
-        # one-past-the-end of each equal-target run: once a target hits the
-        # per-target cap it stays capped (pcount only grows during the
-        # walk), so the whole remaining run skips in ONE hop — the scalar
-        # per-candidate skip made cap-saturated genomes (the common case at
-        # MAXPROBES x multi-Mb scale) walk millions of python iterations
-        run_last = np.flatnonzero(
-            np.concatenate([ctarg[1:] != ctarg[:-1], [True]])
-        ) if n else np.zeros(0, np.int64)
-        run_next = (
-            np.repeat(run_last + 1, np.diff(np.concatenate([[0], run_last + 1])))
-            if n else np.zeros(0, np.int64)
+        pcount = _walk_emit(
+            ck, cp, cf, ctarg, table.count[cti], i, pcount, cap, cfg,
+            use_native, chunks,
         )
-        ent_known = np.full(n, -1, dtype=np.int8)  # -1 unknown, 0 fail, 1 ok
-        ctarg32 = np.ascontiguousarray(ctarg, dtype=np.int32)
-        nxt64 = np.ascontiguousarray(nxt, dtype=np.int64)
-        run_next64 = np.ascontiguousarray(run_next, dtype=np.int64)
-        while True:
-            pcount_trial = pcount.copy()
-            e = (
-                kn.emit_walk(ctarg32, nxt64, run_next64, ent_known,
-                             pcount_trial, cap)
-                if use_native else None
-            )
-            if e is None:
-                emit_js: list[int] = []
-                j = 0
-                while j < n:
-                    t = ctarg[j]
-                    if pcount_trial[t] >= cap:
-                        j = int(run_next[j])  # whole same-target run is capped
-                        continue
-                    if ent_known[j] != 0:
-                        emit_js.append(j)
-                        pcount_trial[t] += 1
-                        j = int(nxt[j])
-                        continue
-                    # skipped candidates don't advance minpos
-                    j += 1
-                e = np.asarray(emit_js, dtype=np.int64)
-            u = e[ent_known[e] < 0] if len(e) else e
-            if len(u) == 0:
-                pcount = pcount_trial
-                break
-            ok = None
-            if use_native:
-                ok = kn.check_entropy_keys(
-                    ck[u], cfg.min_entropy, cfg.max_homopolymer
-                )
-            if ok is None:
-                ok = check_entropy_keys(ck[u], cfg.min_entropy, cfg.max_homopolymer)
-            ent_known[u] = ok.astype(np.int8)
-            if ok.all():
-                pcount = pcount_trial
-                break
-        if len(e):
-            chunks.append(
-                (
-                    ck[e],
-                    ctarg[e].astype(np.int32),
-                    np.full(len(e), i, dtype=np.int32),
-                    cp[e].astype(np.int32),
-                    cf[e].astype(bool),
-                    table.count[cti[e]].astype(np.int32),
-                )
-            )
         log(f"3 {i} {num_orgs} {accession[i]}", level=2)
 
     if ex is not None:

@@ -30,6 +30,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <memory>
 #include <string>
 #include <vector>
 
@@ -134,31 +135,34 @@ Genome* load_genome(const char* path, int kind, int u_is_t) {
 // ---------------------------------------------------------------- radix sort
 
 // LSB radix sort of keys with an optional parallel payload array.
+// 16-bit digits: the 65537-entry count table stays L2-resident and a
+// 60-bit key sorts in <= 4 passes (vs 8 at 8-bit digits).
 template <typename P>
 void radix_sort_u64(uint64_t* keys, P* payload, int64_t n) {
   if (n <= 1) return;
   std::vector<uint64_t> kbuf(n);
   std::vector<P> pbuf(payload ? n : 0);
+  std::vector<int64_t> count(65537);
   uint64_t ormask = 0;
   for (int64_t i = 0; i < n; i++) ormask |= keys[i];
   uint64_t *src = keys, *dst = kbuf.data();
   P *psrc = payload, *pdst = pbuf.data();
-  for (int pass = 0; pass < 8; pass++) {
-    int shift = pass * 8;
-    if (((ormask >> shift) & 0xFF) == 0 && pass > 0) continue;
-    int64_t count[257] = {0};
-    for (int64_t i = 0; i < n; i++) count[((src[i] >> shift) & 0xFF) + 1]++;
-    if (count[(int)((src[0] >> shift) & 0xFF) + 1] == n) continue;  // single bucket
-    for (int b = 0; b < 256; b++) count[b + 1] += count[b];
+  for (int pass = 0; pass < 4; pass++) {
+    int shift = pass * 16;
+    if (((ormask >> shift) & 0xFFFF) == 0 && pass > 0) continue;
+    std::fill(count.begin(), count.end(), 0);
+    for (int64_t i = 0; i < n; i++) count[((src[i] >> shift) & 0xFFFF) + 1]++;
+    if (count[(int)((src[0] >> shift) & 0xFFFF) + 1] == n) continue;  // single bucket
+    for (int b = 0; b < 65536; b++) count[b + 1] += count[b];
     if (payload) {
       for (int64_t i = 0; i < n; i++) {
-        int64_t o = count[(src[i] >> shift) & 0xFF]++;
+        int64_t o = count[(src[i] >> shift) & 0xFFFF]++;
         dst[o] = src[i];
         pdst[o] = psrc[i];
       }
       std::swap(psrc, pdst);
     } else {
-      for (int64_t i = 0; i < n; i++) dst[count[(src[i] >> shift) & 0xFF]++] = src[i];
+      for (int64_t i = 0; i < n; i++) dst[count[(src[i] >> shift) & 0xFFFF]++] = src[i];
     }
     std::swap(src, dst);
   }
@@ -356,89 +360,98 @@ static inline int32_t tree_lca(int32_t x, int32_t y, const int32_t* parent,
   return x;
 }
 
+namespace {
+
+struct Run {
+  const uint64_t* k;
+  const int32_t* c;
+  const int32_t* t;
+  int64_t n;
+  // ownership of intermediate ladder buffers (null for caller arrays)
+  std::shared_ptr<std::vector<uint64_t>> kb;
+  std::shared_ptr<std::vector<int32_t>> cb_, tb_;
+};
+
+// Two-pointer merge of two sorted runs with saturating count sum and
+// tree-LCA target fold (saturating add and LCA are associative, so any
+// merge order yields the segmented-reduction result).
+int64_t merge2(const Run& A, const Run& B, const int32_t* parent,
+               const int32_t* depth, int32_t maxrep, uint64_t* ok,
+               int32_t* oc, int32_t* ot) {
+  const uint64_t *ka = A.k, *kb = B.k;
+  const int32_t *ca = A.c, *cb = B.c;
+  const int32_t *ta = A.t, *tb = B.t;
+  int64_t na = A.n, nb = B.n, ia = 0, ib = 0, out = 0;
+  // hot loop: distinct keys advance branch-free (cmov selects) — the
+  // a<b direction is data-random, so a branchy merge mispredicts ~50%;
+  // the equal-key combine (rare: cross-genome shared k-mers) stays a
+  // predictable branch.
+  while (ia < na && ib < nb) {
+    uint64_t a = ka[ia], b = kb[ib];
+    if (a == b) {
+      int64_t cnt = (int64_t)ca[ia] + cb[ib];
+      if (cnt > maxrep) cnt = maxrep;
+      ok[out] = a;
+      oc[out] = (int32_t)cnt;
+      ot[out] = (ta[ia] == tb[ib]) ? ta[ia]
+                                   : tree_lca(ta[ia], tb[ib], parent, depth);
+      ia++; ib++; out++;
+      continue;
+    }
+    bool la = a < b;
+    ok[out] = la ? a : b;
+    oc[out] = la ? ca[ia] : cb[ib];
+    ot[out] = la ? ta[ia] : tb[ib];
+    ia += la;
+    ib += !la;
+    out++;
+  }
+  for (; ia < na; ia++, out++) {
+    ok[out] = ka[ia]; oc[out] = ca[ia]; ot[out] = ta[ia];
+  }
+  for (; ib < nb; ib++, out++) {
+    ok[out] = kb[ib]; oc[out] = cb[ib]; ot[out] = tb[ib];
+  }
+  return out;
+}
+
+}  // namespace
+
+// Ladder k-way merge: pairwise 2-way passes (n*log2(k) linear merge steps
+// beat a heap's comparator overhead ~4x at builder scale).
 int64_t km_merge_runs(int32_t nruns, const uint64_t** keys,
                       const int32_t** counts, const int32_t** targets,
                       const int64_t* lens, const int32_t* parent,
                       const int32_t* depth, int32_t maxrep,
                       uint64_t* out_keys, int32_t* out_counts,
                       int32_t* out_targets) {
-  if (nruns == 2) {
-    // two-pointer fast path: the base+batch merge (the largest merges)
-    const uint64_t *ka = keys[0], *kb = keys[1];
-    const int32_t *ca = counts[0], *cb = counts[1];
-    const int32_t *ta = targets[0], *tb = targets[1];
-    int64_t na = lens[0], nb = lens[1], ia = 0, ib = 0, out = 0;
-    while (ia < na || ib < nb) {
-      uint64_t k;
-      int64_t cnt;
-      int32_t tg;
-      if (ib >= nb || (ia < na && ka[ia] < kb[ib])) {
-        k = ka[ia]; cnt = ca[ia]; tg = ta[ia]; ia++;
-      } else if (ia >= na || kb[ib] < ka[ia]) {
-        k = kb[ib]; cnt = cb[ib]; tg = tb[ib]; ib++;
-      } else {
-        k = ka[ia];
-        cnt = (int64_t)ca[ia] + cb[ib];
-        if (cnt > maxrep) cnt = maxrep;
-        tg = (ta[ia] == tb[ib]) ? ta[ia]
-                                : tree_lca(ta[ia], tb[ib], parent, depth);
-        ia++; ib++;
-      }
-      out_keys[out] = k;
-      out_counts[out] = (int32_t)cnt;
-      out_targets[out] = tg;
-      out++;
-    }
-    return out;
-  }
-  // loser-tree-free simple heap over run heads (nruns is small, <= ~64)
-  struct Head {
-    uint64_t key;
-    int32_t run;
-  };
-  std::vector<Head> heap;
-  std::vector<int64_t> pos(nruns, 0);
-  auto less = [](const Head& a, const Head& b) { return a.key > b.key; };
+  std::vector<Run> cur;
   for (int32_t r = 0; r < nruns; r++) {
-    if (lens[r] > 0) heap.push_back({keys[r][0], r});
+    if (lens[r] > 0)
+      cur.push_back({keys[r], counts[r], targets[r], lens[r], {}, {}, {}});
   }
-  std::make_heap(heap.begin(), heap.end(), less);
-  int64_t out = -1;
-  uint64_t cur = 0;
-  int64_t cur_count = 0;
-  int32_t cur_targ = 0;
-  while (!heap.empty()) {
-    std::pop_heap(heap.begin(), heap.end(), less);
-    Head h = heap.back();
-    heap.pop_back();
-    int32_t r = h.run;
-    int64_t p = pos[r];
-    if (out < 0 || h.key != cur) {
-      if (out >= 0) {
-        out_counts[out] = (int32_t)(cur_count > maxrep ? maxrep : cur_count);
-        out_targets[out] = cur_targ;
-      }
-      out++;
-      cur = h.key;
-      out_keys[out] = cur;
-      cur_count = counts[r][p];
-      cur_targ = targets[r][p];
-    } else {
-      cur_count += counts[r][p];
-      if (cur_count > maxrep) cur_count = maxrep;  // stays saturated
-      int32_t t = targets[r][p];
-      if (t != cur_targ) cur_targ = tree_lca(cur_targ, t, parent, depth);
+  if (cur.empty()) return 0;
+  while (cur.size() > 2) {
+    std::vector<Run> nxt;
+    for (size_t i = 0; i + 1 < cur.size(); i += 2) {
+      int64_t cap = cur[i].n + cur[i + 1].n;
+      auto kb = std::make_shared<std::vector<uint64_t>>(cap);
+      auto cb = std::make_shared<std::vector<int32_t>>(cap);
+      auto tb = std::make_shared<std::vector<int32_t>>(cap);
+      int64_t n = merge2(cur[i], cur[i + 1], parent, depth, maxrep,
+                         kb->data(), cb->data(), tb->data());
+      nxt.push_back({kb->data(), cb->data(), tb->data(), n, kb, cb, tb});
     }
-    if (++pos[r] < lens[r]) {
-      heap.push_back({keys[r][pos[r]], r});
-      std::push_heap(heap.begin(), heap.end(), less);
-    }
+    if (cur.size() & 1) nxt.push_back(cur.back());
+    cur.swap(nxt);
   }
-  if (out >= 0) {
-    out_counts[out] = (int32_t)(cur_count > maxrep ? maxrep : cur_count);
-    out_targets[out] = cur_targ;
-  }
-  return out + 1;
+  if (cur.size() == 2)
+    return merge2(cur[0], cur[1], parent, depth, maxrep, out_keys,
+                  out_counts, out_targets);
+  memcpy(out_keys, cur[0].k, cur[0].n * sizeof(uint64_t));
+  memcpy(out_counts, cur[0].c, cur[0].n * sizeof(int32_t));
+  memcpy(out_targets, cur[0].t, cur[0].n * sizeof(int32_t));
+  return cur[0].n;
 }
 
 // Pass-3 per-genome candidate prep (db/build.build_probes): galloping

@@ -106,14 +106,16 @@ def _cv_tier(db, hi_ilv, lo_ilv, cand_ilv, valid_ilv, pos_ilv, mh: int,
     pos32, cand32, _, (qhi, qlo) = impl(
         cand_ilv, valid_ilv, pos_ilv, mh, extras=(hi_ilv, lo_ilv)
     )
+    from kmer_id_tpu.ops.lookup import take_rows
+
     has = pos32 < _SENT
-    rows = jnp.take(db["rec"], cand32.reshape(-1), axis=0).reshape(b, mh, 3)
+    rows = take_rows(db["rec"], cand32)
     ver = has & (rows[..., 0] == qhi) & (rows[..., 1] == qlo)
     tin = (rows[..., 2] & jnp.uint32(0xFFFFFF)).astype(jnp.int32)
     depth = (rows[..., 2] >> 24).astype(jnp.int32)
     # (node, tout) by tin — ONE fast-zone gather of the tiny tinfo map
     # (db/fpdb.build_tinfo) instead of a second big-table gather
-    info = jnp.take(db["tinfo"], tin.reshape(-1), axis=0).reshape(b, mh, 2)
+    info = take_rows(db["tinfo"], tin)
     t = jnp.where(ver, info[..., 0], 0)
     tout = info[..., 1]
     if seen is not None:
@@ -298,8 +300,10 @@ def fp_slots(db, ex):
     rec = db["rec"]
     planes = fp_candidates(db, hi, lo, valid)
 
+    from kmer_id_tpu.ops.lookup import take_rows
+
     def verify(cand, cv):
-        rows = jnp.take(rec, cand.reshape(-1), axis=0).reshape(*cand.shape, 3)
+        rows = take_rows(rec, cand)
         return cv & (rows[..., 0] == hi) & (rows[..., 1] == lo)
 
     out = jnp.full_like(hi, -1, dtype=jnp.int32)

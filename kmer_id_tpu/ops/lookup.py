@@ -103,6 +103,47 @@ def lookup_keys(db, q_hi: jax.Array, q_lo: jax.Array, bucket_bits: int = 0,
 # ------------------------------------------------------- fingerprint path
 
 
+_GATHER_PAD = None
+
+
+def _gather_pad_on() -> bool:
+    global _GATHER_PAD
+    if _GATHER_PAD is None:
+        import os
+
+        _GATHER_PAD = os.environ.get("KMER_GATHER_PAD", "1") != "0"
+    return _GATHER_PAD
+
+
+def take_rows(tab: jax.Array, idx: jax.Array) -> jax.Array:
+    """``jnp.take(tab, idx, axis=0)`` with the index plane re-shaped to an
+    [odd, 128] layout.
+
+    Measured on the target chip (tools/gather_curve.py r5): row-gather cost
+    at a fixed lane count depends on the index plane's shape — totals whose
+    2-adic valuation is high (2^10+ divisible: [8192, 131], [8192, 128],
+    flat powers of two) run ~25-37% SLOWER than the same lanes laid out as
+    [odd, 128] (1.07M lanes into 134 MB: 12.3 -> 7.7 ms; 98k lanes: 1.55 ->
+    1.07 ms).  Flattening, padding to an odd multiple of 128 lanes, and
+    reshaping back buys that back for every hot gather (bloom gate, L1/L2
+    candidates, rec verify).  Padding lanes gather row 0 and are sliced off.
+    """
+    if not _gather_pad_on() or idx.ndim == 0:
+        return jnp.take(tab, idx, axis=0)
+    shape = idx.shape
+    n = 1
+    for s in shape:
+        n *= s
+    rows = -(-n // 128)
+    if rows % 2 == 0:
+        rows += 1  # odd row count => total lanes = odd * 2^7
+    pad = rows * 128 - n
+    flat = jnp.pad(idx.reshape(-1), (0, pad)).reshape(rows, 128)
+    out = jnp.take(tab, flat, axis=0)
+    tail = tab.shape[1:]
+    return out.reshape((rows * 128,) + tail)[:n].reshape(shape + tail)
+
+
 def _fp_mix(a, b, s1, s2):
     x = a ^ (b * s1)
     x = x ^ (x >> 15)
@@ -149,15 +190,25 @@ def bloom_pass(db, q_hi, q_lo, valid):
     bloom = db["bloom"]
     nblk = bloom.shape[0]
     blk, bits = bloom_hashes_jnp(q_hi, q_lo, nblk, db["fp_s4"], db["fp_s5"])
-    row = jnp.take(bloom, blk, axis=0)  # [..., 4]
-    wid = jax.lax.broadcasted_iota(jnp.uint32, row.shape, row.ndim - 1)
-    need = jnp.zeros_like(row)
-    for bit in bits:
-        need = need | jnp.where(
-            wid == (bit[..., None] >> 5),
-            jnp.uint32(1) << (bit[..., None] & 31), jnp.uint32(0),
-        )
-    return valid & jnp.all((row & need) == need, axis=-1)
+    shape = blk.shape
+
+    def test(blk, bits):
+        row = jnp.take(bloom, blk, axis=0)  # [..., 4]
+        wid = jax.lax.broadcasted_iota(jnp.uint32, row.shape, row.ndim - 1)
+        need = jnp.zeros_like(row)
+        for bit in bits:
+            need = need | jnp.where(
+                wid == (bit[..., None] >> 5),
+                jnp.uint32(1) << (bit[..., None] & 31), jnp.uint32(0),
+            )
+        return jnp.all((row & need) == need, axis=-1)
+
+    # NOTE: the [odd, 128] take_rows layout does NOT help here — measured
+    # in-kernel, the full-width [B, P] gather+test chain is already emitted
+    # well by XLA (6.3 ms stage) and any pad/reshape around it costs ~0.6 ms
+    # (r5 kernel ablations).  The padding win is real only for the NARROW
+    # post-compaction gathers (L1/L2/rec/tinfo), which do use take_rows.
+    return valid & test(blk, bits)
 
 
 def _fp_bucket_match(row, fp):
@@ -187,9 +238,9 @@ def fp_candidates(db, q_hi, q_lo, valid):
     nb2 = fptab2.shape[0]
     b1, _, fp = fp_hashes_jnp(q_hi, q_lo, nb1, db["fp_s1"], db["fp_s2"], db["fp_s3"])
     c1, c2, _ = fp_hashes_jnp(q_hi, q_lo, nb2, db["fp_s4"], db["fp_s5"], db["fp_s3"])
-    r1 = jnp.take(fptab, b1, axis=0)
-    r2 = jnp.take(fptab2, c1, axis=0)
-    r3 = jnp.take(fptab2, c2, axis=0)
+    r1 = take_rows(fptab, b1)
+    r2 = take_rows(fptab2, c1)
+    r3 = take_rows(fptab2, c2)
     m1, s1 = _fp_bucket_match(r1, fp)
     m2, s2 = _fp_bucket_match(r2, fp)
     m3, s3 = _fp_bucket_match(r3, fp)

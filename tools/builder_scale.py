@@ -109,14 +109,25 @@ def gen_corpus(n_orgs: int, mb: int) -> str:
     return marker
 
 
-def run_ours() -> dict:
-    """Run our builder in a subprocess (isolated peak-RSS measurement)."""
+def run_ours(spill: bool = False, rss_cap_gb: float = 0.0) -> dict:
+    """Run our builder in a subprocess (isolated peak-RSS measurement).
+
+    ``spill`` uses the bounded-memory disk-spill path (db/spill.py);
+    ``rss_cap_gb`` > 0 additionally sets RLIMIT_DATA so the proof run
+    CANNOT silently exceed the cap (it would die, not page)."""
     code = f"""
 import json, os, resource, sys, time
 sys.path.insert(0, {ROOT!r})
-from kmer_id_tpu.db.build import build_probes
+if {rss_cap_gb!r}:
+    cap = int(float({rss_cap_gb!r}) * (1 << 30))
+    resource.setrlimit(resource.RLIMIT_DATA, (cap, cap))
 t0 = time.time()
-res = build_probes({NAME!r}, {os.path.join(CACHE, 'fa')!r}, root={CACHE!r})
+if {spill!r}:
+    from kmer_id_tpu.db.spill import build_probes_spill
+    res = build_probes_spill({NAME!r}, {os.path.join(CACHE, 'fa')!r}, root={CACHE!r})
+else:
+    from kmer_id_tpu.db.build import build_probes
+    res = build_probes({NAME!r}, {os.path.join(CACHE, 'fa')!r}, root={CACHE!r})
 wall = time.time() - t0
 rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 print(json.dumps(dict(wall_s=round(wall, 1), peak_rss_gb=round(rss, 2),
@@ -162,6 +173,10 @@ def main():
     ap.add_argument("--orgs", type=int, default=200)
     ap.add_argument("--mb", type=int, default=5)
     ap.add_argument("--skip-ref", action="store_true")
+    ap.add_argument("--spill", action="store_true",
+                    help="bounded-memory disk-spill build (db/spill.py)")
+    ap.add_argument("--rss-cap-gb", type=float, default=0.0,
+                    help="hard RLIMIT_DATA cap for the ours run (proof mode)")
     args = ap.parse_args()
     gen_corpus(args.orgs, args.mb)
     report = {"n_orgs": args.orgs, "genome_mb": args.mb}
@@ -173,7 +188,10 @@ def main():
         os.rename(probes_path, probes_path + ".ref")
         os.rename(probes_path.replace("_probes", "_count"),
                   probes_path.replace("_probes", "_count") + ".ref")
-    report["ours"] = run_ours()
+    report["ours"] = run_ours(spill=args.spill, rss_cap_gb=args.rss_cap_gb)
+    if args.spill:
+        report["ours"]["spill"] = True
+        report["ours"]["rss_cap_gb"] = args.rss_cap_gb
     if ref:
         same_p = open(probes_path, "rb").read() == open(
             probes_path + ".ref", "rb").read()
