@@ -287,6 +287,11 @@ def _walk_emit(ck, cp, cf, ctarg, ccount, org_idx, pcount, cap, cfg,
         if len(u) == 0:
             pcount = pcount_trial
             break
+        # lookahead: an entropy failure at candidate j makes the next walk
+        # visit j+1, j+2, ... — pre-vet a few successors of every unknown so
+        # cascaded failures converge in ~2 rounds instead of ~25
+        u = np.unique(np.clip(u[:, None] + np.arange(5)[None, :], 0, n - 1))
+        u = u[ent_known[u] < 0]
         ok = None
         if use_native:
             ok = kn.check_entropy_keys(

@@ -32,6 +32,7 @@
 #include <cstring>
 #include <memory>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -367,9 +368,11 @@ struct Run {
   const int32_t* c;
   const int32_t* t;
   int64_t n;
-  // ownership of intermediate ladder buffers (null for caller arrays)
-  std::shared_ptr<std::vector<uint64_t>> kb;
-  std::shared_ptr<std::vector<int32_t>> cb_, tb_;
+  // ownership of intermediate ladder buffers (null for caller arrays);
+  // new[] default-initialization leaves POD arrays UNINITIALIZED — a
+  // std::vector here would memset gigabytes per ladder pass
+  std::shared_ptr<uint64_t[]> kb;
+  std::shared_ptr<int32_t[]> cb_, tb_;
 };
 
 // Two-pointer merge of two sorted runs with saturating count sum and
@@ -432,15 +435,28 @@ int64_t km_merge_runs(int32_t nruns, const uint64_t** keys,
   }
   if (cur.empty()) return 0;
   while (cur.size() > 2) {
-    std::vector<Run> nxt;
-    for (size_t i = 0; i + 1 < cur.size(); i += 2) {
-      int64_t cap = cur[i].n + cur[i + 1].n;
-      auto kb = std::make_shared<std::vector<uint64_t>>(cap);
-      auto cb = std::make_shared<std::vector<int32_t>>(cap);
-      auto tb = std::make_shared<std::vector<int32_t>>(cap);
-      int64_t n = merge2(cur[i], cur[i + 1], parent, depth, maxrep,
-                         kb->data(), cb->data(), tb->data());
-      nxt.push_back({kb->data(), cb->data(), tb->data(), n, kb, cb, tb});
+    size_t pairs = cur.size() / 2;
+    std::vector<Run> nxt(pairs);
+    // pair merges are independent: run them on 2 threads (the build hosts
+    // have 2 cores; the prefetch worker idles during consolidation)
+    auto work = [&](size_t start) {
+      for (size_t j = start; j < pairs; j += 2) {
+        const Run &A = cur[2 * j], &B = cur[2 * j + 1];
+        int64_t cap = A.n + B.n;
+        std::shared_ptr<uint64_t[]> kb(new uint64_t[cap]);
+        std::shared_ptr<int32_t[]> cb(new int32_t[cap]);
+        std::shared_ptr<int32_t[]> tb(new int32_t[cap]);
+        int64_t n = merge2(A, B, parent, depth, maxrep, kb.get(), cb.get(),
+                           tb.get());
+        nxt[j] = {kb.get(), cb.get(), tb.get(), n, kb, cb, tb};
+      }
+    };
+    if (pairs > 1) {
+      std::thread t1(work, 1);
+      work(0);
+      t1.join();
+    } else {
+      work(0);
     }
     if (cur.size() & 1) nxt.push_back(cur.back());
     cur.swap(nxt);

@@ -45,13 +45,22 @@ _KEY_BITS = 60
 
 
 class ShardStore:
-    """Sorted (keys, counts, targets) column files per key-prefix shard."""
+    """Sorted (keys, counts, targets) column files per key-prefix shard.
+
+    Pass-1 batches APPEND sorted run segments per shard (sequential writes,
+    no rewrite); :meth:`consolidate` then k-way merges each shard's runs
+    ONCE.  Rewriting every shard at every batch would cost
+    O(batches x table) disk traffic (~300 GB at a 1 Gbase corpus); the
+    append-then-merge plan writes/read each byte ~twice total."""
 
     def __init__(self, root: str, shard_bits: int):
         self.root = root
         self.bits = shard_bits
         self.n = 1 << shard_bits
         os.makedirs(root, exist_ok=True)
+        self._runs: list[list[int]] = [[] for _ in range(self.n)]
+        self._fhs = None
+        self.consolidated = False
 
     def _paths(self, s: int):
         p = os.path.join(self.root, f"s{s:04d}")
@@ -61,6 +70,7 @@ class ShardStore:
         return (keys >> np.uint64(_KEY_BITS - self.bits)).astype(np.int64)
 
     def load(self, s: int):
+        assert self.consolidated
         kp, cp, tp = self._paths(s)
         if not os.path.exists(kp):
             z = np.zeros(0, dtype=np.uint64)
@@ -84,36 +94,66 @@ class ShardStore:
         targets.tofile(tp + ".tmp")
         os.replace(tp + ".tmp", tp)
 
-    def merge_batch(self, keys, counts, targets, tax, maxrep) -> None:
-        """2-way merge one consolidated sorted batch into the disk shards."""
-        from kmer_id_tpu.db import native as kn
-
+    def append_batch(self, keys, counts, targets) -> None:
+        """Append one consolidated sorted batch as per-shard run segments."""
+        if self._fhs is None:
+            self._fhs = [
+                tuple(
+                    open(os.path.join(self.root, f"r{s:04d}{e}"), "ab")
+                    for e in (".k", ".c", ".t")
+                )
+                for s in range(self.n)
+            ]
         sh = self.shard_of(keys)
         bounds = np.searchsorted(sh, np.arange(self.n + 1))
         for s in range(self.n):
             lo, hi = bounds[s], bounds[s + 1]
             if lo == hi:
                 continue
-            bk, bc, bt = keys[lo:hi], counts[lo:hi], targets[lo:hi]
-            ok_, oc_, ot_ = self.load(s)
-            if len(ok_) == 0:
-                self.store(s, np.ascontiguousarray(bk),
-                           np.ascontiguousarray(bc), np.ascontiguousarray(bt))
+            fk, fc, ft = self._fhs[s]
+            np.ascontiguousarray(keys[lo:hi]).tofile(fk)
+            np.ascontiguousarray(counts[lo:hi]).tofile(fc)
+            np.ascontiguousarray(targets[lo:hi]).tofile(ft)
+            self._runs[s].append(int(hi - lo))
+
+    def consolidate(self, tax, maxrep) -> int:
+        """Merge every shard's appended runs into its final sorted files;
+        returns the total distinct-key count."""
+        from kmer_id_tpu.db import native as kn
+
+        if self._fhs is not None:
+            for hs in self._fhs:
+                for h in hs:
+                    h.close()
+            self._fhs = None
+        total = 0
+        for s in range(self.n):
+            lens = self._runs[s]
+            if not lens:
                 continue
-            merged = kn.merge_runs(
-                [(ok_, oc_, ot_), (bk, bc, bt)], tax.parent, tax.depth, maxrep
-            )
+            p = os.path.join(self.root, f"r{s:04d}")
+            ks = np.fromfile(p + ".k", dtype=np.uint64)
+            cs = np.fromfile(p + ".c", dtype=np.int32)
+            ts = np.fromfile(p + ".t", dtype=np.int32)
+            for e in (".k", ".c", ".t"):
+                os.remove(p + e)
+            runs = []
+            off = 0
+            for n in lens:
+                runs.append((ks[off:off + n], cs[off:off + n], ts[off:off + n]))
+                off += n
+            merged = kn.merge_runs(runs, tax.parent, tax.depth, maxrep)
             if merged is None:  # NumPy fallback (no native lib)
                 from kmer_id_tpu.db.build import TableBuilder
 
-                k2 = np.concatenate([ok_, bk])
-                c2 = np.concatenate([oc_, bc])
-                t2 = np.concatenate([ot_, bt])
-                order = np.argsort(k2, kind="stable")
+                order = np.argsort(ks, kind="stable")
                 merged = TableBuilder._reduce(
-                    k2[order], c2[order], t2[order], tax
+                    ks[order], cs[order], ts[order], tax
                 )
             self.store(s, *merged)
+            total += len(merged[0])
+        self.consolidated = True
+        return total
 
 
 class QuerySpool:
@@ -282,7 +322,7 @@ def build_probes_spill(
         if tb.base is not None:
             k, c, t = tb.base
             tb.base = None
-            store.merge_batch(k, c, t, tax, MAXREP)
+            store.append_batch(k, c, t)
 
     tb._consolidate = spill_consolidate
     ingroup = [i for i in range(num_orgs) if targno[i] > 1]
@@ -291,10 +331,7 @@ def build_probes_spill(
         tb.add_run(uk, counts, targno[i])
         log(f"1 {i} {num_orgs} {accession[i]}", level=2)
     tb._consolidate()
-    nkeys = 0
-    for s in range(store.n):
-        nkeys += os.path.getsize(store._paths(s)[0]) // 8 \
-            if os.path.exists(store._paths(s)[0]) else 0
+    nkeys = store.consolidate(tax, MAXREP)
     log(f"pass1 table: {nkeys} distinct kmers (spilled, {store.n} shards)")
 
     # ---- pass 2: outgroup poisoning, shard-sliced

@@ -257,7 +257,7 @@ def _compact_verify(db, ex, max_hits: int, seen=None):
     out = {
         "cand": cand32, "ver": ver, "nh": nh, "deepest": deepest,
         "consistent": consistent, "overflow": overflow, "dtgt": dtgt,
-        "tin": tin, "tout": tout, "t": t,
+        "tin": tin, "tout": tout, "t": t, "depth": depth,
     }
     return out if seen is None else (out, seen)
 
@@ -291,6 +291,66 @@ def fp_summary_seen(db, ex, seen, max_hits: int):
     only the compact summary plane crosses device->host)."""
     cv, seen = _compact_verify(db, ex, max_hits, seen)
     return _summary_plane(cv), seen
+
+
+def fp_long_finals(db, ex, seg, seen, n_segs: int, max_hits: int):
+    """Long-read lane: per-READ finals computed ON DEVICE from chunk rows.
+
+    ``seg`` int32 [rows] maps each chunk row to its read (rows of a read are
+    contiguous; pad rows carry seg = n_segs - 1 with length 0).  The
+    consistent fast path — every hit an ancestor-or-self of the segment's
+    deepest hit — is pure segment arithmetic, so the only D2H traffic is
+    ONE int32 per read instead of the r4 lane's (3 + LONG_HITS)-int summary
+    per CHUNK (~40x less, and no host slot->read assembly).  Reads that are
+    inconsistent OR candidate-overflowed get bit 30 set and take the exact
+    per-window replay + ordered host fold, exactly like the short-read
+    engine's overflow fallback.
+
+    Returns (finals int32 [n_segs], seen).
+    """
+    cv, seen = _compact_verify(db, ex, max_hits, seen)
+    ver, t, tin, tout, depth = cv["ver"], cv["t"], cv["tin"], cv["tout"], cv["depth"]
+    nh_seg = jax.ops.segment_sum(
+        cv["nh"], seg, num_segments=n_segs, indices_are_sorted=True
+    )
+    # deepest hit per segment: max of (depth << 24 | tin) over verified hits
+    # (under consistency the max-depth NODE is unique, so this selects the
+    # same target the single-read argmax does)
+    dkey = jnp.where(ver, (depth << 24) | tin, -1)
+    seg_dkey = jax.ops.segment_max(
+        jnp.max(dkey, axis=1), seg, num_segments=n_segs,
+        indices_are_sorted=True,
+    )
+    dtin_seg = jnp.maximum(seg_dkey, 0) & ((1 << 24) - 1)
+    dtin_row = jnp.take(dtin_seg, seg, axis=0)[:, None]
+    ok = ~ver | ((tin <= dtin_row) & (dtin_row <= tout))
+    row_ok = jnp.all(ok, axis=1) & ~cv["overflow"]
+    seg_ok = jax.ops.segment_min(
+        row_ok.astype(jnp.int32), seg, num_segments=n_segs,
+        indices_are_sorted=True,
+    ) > 0
+    # deepest target: tinfo is tin-indexed (node, tout)
+    from kmer_id_tpu.ops.lookup import take_rows
+
+    dtgt = take_rows(db["tinfo"], dtin_seg)[:, 0]
+    finals = jnp.where(nh_seg > 0, dtgt, 0)
+    finals = jnp.where(seg_ok, finals, finals | jnp.int32(1 << 30))
+    return finals, seen
+
+
+@partial(jax.jit, static_argnames=("l", "n_segs", "max_hits"),
+         donate_argnums=(5,))
+def _fp_long_packed(db, packed, exc, lengths, seg, seen, l: int, n_segs: int,
+                    max_hits: int):
+    codes = unpack_codes(packed, exc, l)
+    ex = extract_kmers(codes, lengths)
+    return fp_long_finals(db, ex, seg, seen, n_segs, max_hits)
+
+
+@partial(jax.jit, static_argnames=("n_segs", "max_hits"), donate_argnums=(4,))
+def _fp_long_codes(db, codes, lengths, seg, seen, n_segs: int, max_hits: int):
+    ex = extract_kmers(codes, lengths)
+    return fp_long_finals(db, ex, seg, seen, n_segs, max_hits)
 
 
 def fp_slots(db, ex):
@@ -696,7 +756,110 @@ class FpClassifier:
         all_lens = np.concatenate(len_rows, axis=0)
         row_item_arr = np.array(row_item, dtype=np.int64)
 
-        # ---- submit every group, then fetch all summaries at once
+        # ---- pack WHOLE reads into row groups (the device per-read finals
+        # kernel segments by read; a read's chunk rows must share a group)
+        read_rows = np.bincount(row_item_arr, minlength=len(items))
+        if read_rows.max(initial=0) > self.batch_size:
+            # a read with more chunks than a whole group (>~1 Mbase at the
+            # default max_len) keeps the summary-plane path
+            return self._long_many_summary(
+                seen, items, all_planes, all_lens, row_item_arr, l, mh
+            )
+        groups = []  # (row_start, n_rows, item_lo, item_hi)
+        g0 = 0
+        r0 = 0
+        for idx in range(len(items)):
+            nr = int(read_rows[idx])
+            if nr == 0:
+                continue
+            if (r0 - g0) + nr > self.batch_size:
+                groups.append((g0, r0 - g0))
+                g0 = r0
+            r0 += nr
+        if r0 > g0:
+            groups.append((g0, r0 - g0))
+
+        # ---- submit every group, then fetch all per-read finals at once
+        group_meta = []  # (row0, n, item0, n_items, finals_dev, args)
+        for g0, n in groups:
+            items_in = row_item_arr[g0 : g0 + n]
+            item0 = int(items_in[0])
+            k = int(items_in[-1]) - item0 + 1
+            rows = 32
+            while rows < n:
+                rows *= 4  # pad buckets: 32/128/512/2048/8192 jit signatures
+            rows = min(max(rows, 32), self.batch_size)
+            plane = np.full((rows, l), 4, dtype=np.uint8)
+            plane[:n] = all_planes[g0 : g0 + n]
+            lengths = np.zeros(rows, dtype=np.int32)
+            lengths[:n] = all_lens[g0 : g0 + n]
+            seg = np.full(rows, k, dtype=np.int32)  # pads -> sentinel seg
+            seg[:n] = items_in - item0
+            n_segs = k + 1
+            packed, exc = pack_codes(plane, lengths)
+            if packed is None:  # exception-list overflow: ship the plane
+                fin_dev, seen = _fp_long_codes(
+                    self._db, jnp.asarray(plane), jnp.asarray(lengths),
+                    jnp.asarray(seg), seen, n_segs=n_segs, max_hits=mh,
+                )
+            else:
+                fin_dev, seen = _fp_long_packed(
+                    self._db, jnp.asarray(packed), jnp.asarray(exc),
+                    jnp.asarray(lengths), jnp.asarray(seg), seen, l=l,
+                    n_segs=n_segs, max_hits=mh,
+                )
+            group_meta.append(
+                (g0, n, item0, k, fin_dev, (packed, exc, plane, lengths))
+            )
+        cat = jnp.concatenate([m[4] for m in group_meta], axis=0)
+        F = np.asarray(cat)  # ONE fetch for every group (ints per READ)
+
+        finals = [0] * len(items)
+        off = 0
+        for g0, n, item0, k, fin_dev, args in group_meta:
+            gf = F[off : off + fin_dev.shape[0]][:k]
+            off += fin_dev.shape[0]
+            flagged = np.nonzero((gf & (1 << 30)) != 0)[0]
+            for j in range(k):
+                finals[item0 + j] = int(gf[j] & ~np.int32(1 << 30))
+            if len(flagged) == 0:
+                continue
+            # inconsistent or candidate-overflow reads: exact per-window
+            # slots replay + ordered host msca fold (same fallback as the
+            # short-read engine)
+            packed, exc, plane, lengths = args
+            if packed is None:
+                sl_dev = _fp_kernel_codes(
+                    self._db, jnp.asarray(plane), jnp.asarray(lengths),
+                    max_hits=self.max_hits, mode="slots",
+                )
+            else:
+                sl_dev = _fp_kernel_packed(
+                    self._db, jnp.asarray(packed), jnp.asarray(exc),
+                    jnp.asarray(lengths), l=l, max_hits=self.max_hits,
+                    mode="slots",
+                )
+            seen = _scatter_plane_seen(seen, sl_dev)
+            sl = np.asarray(sl_dev)[:n]
+            items_in = row_item_arr[g0 : g0 + n]
+            for j in flagged:
+                rws = np.nonzero(items_in == item0 + int(j))[0]
+                s = sl[rws].reshape(-1)
+                s = s[s >= 0]
+                finals[item0 + int(j)] = fold_host(
+                    self.taxonomy, self.slot_target[s]
+                )
+        return seen, finals
+
+    def _long_many_summary(self, seen, items, all_planes, all_lens,
+                           row_item_arr, l, mh):
+        """r4 summary-plane lane: per-chunk (3+mh)-int summaries + host
+        slot->read assembly.  Kept for reads whose chunk count exceeds a
+        whole group (the per-read device kernel needs a read's rows in one
+        group)."""
+        from kmer_id_tpu.io.batch import pack_codes
+
+        n_rows = len(row_item_arr)
         group_meta = []  # (start, n, summary_dev, packed_args)
         for g in range(0, n_rows, self.batch_size):
             n = min(self.batch_size, n_rows - g)
