@@ -328,7 +328,8 @@ def _our_throughput(meta) -> tuple[float, dict]:
     log(f"DB load: {t_load:.1f}s ({len(db.packed)} probes)")
 
     t0 = time.time()
-    cfg = ClassifyConfig.preset("vf6", batch_size=8192, max_len=160)
+    bsz = int(os.environ.get("KMER_BENCH_BATCH", "8192"))
+    cfg = ClassifyConfig.preset("vf6", batch_size=bsz, max_len=160)
     clf = make_classifier(db, cfg, cache_dir=os.path.join(CACHE, "packed_full"))
     t_clf = time.time() - t0
     from kmer_id_tpu.engine.fpclassify import FpClassifier
