@@ -189,6 +189,10 @@ def main():
     ap.add_argument("--probes", type=int, default=100_000_000)
     ap.add_argument("--reads", type=int, default=200_000)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--repeat-file", type=int, default=1,
+                    help="feed the read file N times per run so per-sample "
+                         "fixed costs (269M-slot seen alloc + ucount "
+                         "finalize) amortize like a production-size sample")
     ap.add_argument("--ref-baseline", action="store_true",
                     help="measure the unmodified-reference baseline at this "
                          "scale (one ~30 min single-core run; cached)")
@@ -256,15 +260,25 @@ def main():
     for i in range(args.runs):
         t0 = time.time()
         sp = SampleProcessor(clf, cfg)
-        sp.feed_file(meta["reads"], fmt="fastq_gz")
+        for _ in range(args.repeat_file):
+            sp.feed_file(meta["reads"], fmt="fastq_gz")
         res = sp.finish()
         dt = time.time() - t0
         runs.append(res.reads / dt)
         log(f"run {i + 1}/{args.runs}: {res.reads} reads in {dt:.2f}s -> "
             f"{runs[-1]:,.0f} reads/s")
 
+    # device-kernel probe at this scale (same methodology as bench.py)
+    sys.path.insert(0, ROOT)
+    import bench as B
+
+    kern = B._kernel_throughput(clf)
+    for k, v in kern.items():
+        log(f"{k}: {v}")
     report = {
         "n_probes": meta["n_probes"],
+        "reads_per_run": int(meta["n_reads"]) * args.repeat_file,
+        **kern,
         "probe_text_gz_gb": round(meta["gz_bytes"] / 1e9, 2),
         "first_load_s": round(t_parse, 1) if cold else None,
         "fpdb_build_s": round(t_build, 1) if cold else None,
