@@ -795,7 +795,11 @@ class FpClassifier:
             lengths[:n] = all_lens[g0 : g0 + n]
             seg = np.full(rows, k, dtype=np.int32)  # pads -> sentinel seg
             seg[:n] = items_in - item0
-            n_segs = k + 1
+            # STATIC segment count: one jit signature per rows-bucket (a
+            # per-group k+1 would recompile the kernel for every distinct
+            # read packing — the first bench of this lane spent its wall in
+            # recompiles); unused trailing segments cost one tiny vector
+            n_segs = self.batch_size + 1
             packed, exc = pack_codes(plane, lengths)
             if packed is None:  # exception-list overflow: ship the plane
                 fin_dev, seen = _fp_long_codes(

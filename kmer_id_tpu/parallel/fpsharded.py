@@ -186,7 +186,7 @@ class ShardedFpClassifier:
         recL2 = np.broadcast_to(
             f.rec[f.nb * SLOTS :][None], (self.dbp, f.nb2 * SLOTS, 3)
         )
-        rec_loc = np.concatenate([recL1, recL2], axis=1)
+        rec_loc = np.concatenate([recL1, recL2], axis=1).reshape(-1, 3)
         stL1 = f.slot_target[: f.nb * SLOTS].reshape(self.dbp, self.nbloc * SLOTS)
         stL2 = np.broadcast_to(
             f.slot_target[f.nb * SLOTS :][None], (self.dbp, f.nb2 * SLOTS)
@@ -195,12 +195,11 @@ class ShardedFpClassifier:
 
         from kmer_id_tpu.db.fpdb import build_tinfo
 
-        sh_db0 = NamedSharding(mesh, P("db", None, None))
         sh_db1 = NamedSharding(mesh, P("db", None))
         rep = NamedSharding(mesh, P())
         self._fptab = _put_global(f.fptab, sh_db1)
         self._fptab2 = _put_global(f.fptab2, rep)
-        self._rec = _put_global(rec_loc, sh_db0)
+        self._rec = _put_global(rec_loc, sh_db1)
         # tin -> (node, tout): tiny, replicated (db/fpdb.build_tinfo)
         self._tinfo = _put_global(build_tinfo(taxonomy), rep)
         chain3, _ = taxonomy.chain_tables()
@@ -216,15 +215,19 @@ class ShardedFpClassifier:
         if _os.environ.get("KMER_BLOOM", "1") != "0":
             blooms = _shard_blooms(f, self.dbp, self.nbloc)
             if blooms is not None:
-                self._bloom = _put_global(blooms, sh_db0)
+                self._bloom = _put_global(blooms.reshape(-1, 4), sh_db1)
         self._bloom_arr = (
             self._bloom
             if self._bloom is not None
-            else _put_global(np.zeros((self.dbp, 1, 4), np.uint32), sh_db0)
+            else _put_global(np.zeros((self.dbp, 4), np.uint32), sh_db1)
         )
         self._salts = tuple(jnp.uint32(s) for s in (f.s1, f.s2, f.s3, f.s4, f.s5))
         self._data_sh = NamedSharding(mesh, P("data"))
-        self._seen_sh = NamedSharding(mesh, P("data", "db"))
+        # seen is GLOBALLY FLAT [dp*dbp*loc], sharded jointly over both
+        # mesh axes: the local block is then natively 1-D, so the in-kernel
+        # scatter needs no [0,0,:] indexing or reshape — either form cost
+        # ~3.5 ms/batch extra on the target chip (r5 sharded ablations)
+        self._seen_sh = NamedSharding(mesh, P(("data", "db")))
 
         nb1, nb2, nbloc, mh = f.nb, f.nb2, self.nbloc, max_hits
         sent = jnp.int32(2**31 - 1)
@@ -239,7 +242,11 @@ class ShardedFpClassifier:
         # shard's filter holds only ITS keys, so per-shard pass counts are
         # even lower than the single-chip engine's)
         use_bloom = self._bloom is not None
-        nblk_loc = self._bloom.shape[1] if use_bloom else 1
+        nblk_loc = (self._bloom.shape[0] // self.dbp) if use_bloom else 1
+
+        import os as _os2
+
+        _stage = _os2.environ.get("KMER_SHARD_STAGE", "")  # profiling ablations
 
         def local_hits(fptab, fptab2, rec, tinfo, bloom, codes, lengths, salts):
             """Per-shard: bloom gate -> window compaction -> narrow candidate
@@ -247,10 +254,17 @@ class ShardedFpClassifier:
             Mirrors the single-chip engine's bloom + two-tier kernel
             (engine/fpclassify._compact_verify) shard-locally."""
             s1, s2, s3, s4, s5 = salts
-            rec = rec[0]  # [dbp, loc, 3] shards to a [1, loc, 3] local block
+            # rec/bloom local blocks arrive SLICE-FREE ([loc, 3] / [nblk, 4]
+            # — the shard axis is flattened into axis 0): a leading-axis
+            # [0]-slice of the 800 MB local block cost ~10 ms/call on the
+            # target chip (r5 sharded-stage ablations)
             ex = extract_kmers(codes, lengths)
             hi, lo, valid = ex["hi"], ex["lo"], ex["valid"]
             rows, p = hi.shape
+            if _stage == "extract":
+                z8 = jnp.zeros((rows, 8), jnp.int32)
+                return (z8 + hi.sum(axis=1)[:, None].astype(jnp.int32), z8,
+                        z8, z8, z8, z8 > 0, jnp.zeros((rows,), bool))
             dbi = jax.lax.axis_index("db")
             b0 = dbi.astype(jnp.int32) * nbloc
             bover = jnp.zeros((rows,), bool)
@@ -258,7 +272,7 @@ class ShardedFpClassifier:
                 # gate: ONE fast-zone gather into THIS shard's filter (built
                 # over exactly the keys this shard owns: its L1 bucket range
                 # + L2 on rank 0) decides which windows probe L1 at all
-                blm = bloom[0]
+                blm = bloom
                 blk, bits = bloom_hashes_jnp(hi, lo, nblk_loc, s4, s5)
                 row = jnp.take(blm, blk, axis=0)
                 wid = jax.lax.broadcasted_iota(jnp.uint32, row.shape, row.ndim - 1)
@@ -279,6 +293,12 @@ class ShardedFpClassifier:
                 wvalid = wpos < sent
                 wp = jnp.where(wvalid, wpos, 0)
                 hi, lo, valid = whi, wlo, wvalid
+                if _stage == "wcompact":
+                    z8 = jnp.zeros((rows, 8), jnp.int32)
+                    return (z8 + (hi.sum(axis=1) + wp.sum(axis=1).astype(
+                        jnp.uint32))[:, None].astype(jnp.int32),
+                            z8, z8, z8, z8, z8 > 0,
+                            jnp.zeros((rows,), bool))
             else:
                 wp = jax.lax.broadcasted_iota(jnp.int32, (rows, p), 1)
             b1, _, fp = fp_hashes_jnp(hi, lo, nb1, s1, s2, s3)
@@ -331,13 +351,21 @@ class ShardedFpClassifier:
                 fptab, fptab2, rec, tinfo, bloom, codes, lengths, salts
             )
             rows = posk.shape[0]
+            if _stage in ("local", "extract", "wcompact"):
+                return seen, posk.sum(axis=1) + tgt.sum(axis=1), jax.lax.psum(
+                    lov.astype(jnp.int32).sum(), "data") * 0
             # local seen scatter (slot ids are shard-local; exactly-once by
             # L1-range / L2-rank-0 ownership)
             sc = jnp.where(ver, cand, 0)
             sv = jnp.where(ver, jnp.int8(1), jnp.int8(0))
-            seen = seen.at[0, 0, sc.reshape(-1)].max(
+            # 1-D scatter on the flattened local block (the [0,0,idx] 3-D
+            # form cost ~3.7 ms/call extra; r5 ablations)
+            seen = seen.at[sc.reshape(-1)].max(
                 sv.reshape(-1), mode="promise_in_bounds"
             )
+            if _stage == "seen":  # profiling ablation: stop after scatter
+                return seen, posk.sum(axis=1) + tgt.sum(axis=1), jax.lax.psum(
+                    lov.astype(jnp.int32).sum(), "data") * 0
             # merge: gather every shard's compact hits, re-sort by window
             # pos; on a dbp=1 mesh the gather is identity and the local
             # plane is already window-ordered, so both steps drop out (the
@@ -389,7 +417,6 @@ class ShardedFpClassifier:
             Probes every window (no bloom gate: this path must be exact even
             for windows a budget dropped)."""
             s1, s2, s3, s4, s5 = salts
-            rec = rec[0]
             ex = extract_kmers(codes, lengths)
             hi, lo, valid = ex["hi"], ex["lo"], ex["valid"]
             dbi = jax.lax.axis_index("db")
@@ -418,7 +445,7 @@ class ShardedFpClassifier:
                 )
             sc = jnp.where(slot >= 0, slot, 0)
             sv = jnp.where(slot >= 0, jnp.int8(1), jnp.int8(0))
-            seen = seen.at[0, 0, sc.reshape(-1)].max(
+            seen = seen.at[sc.reshape(-1)].max(
                 sv.reshape(-1), mode="promise_in_bounds"
             )
             # 1-D node-column gather (the [N, 2] form lane-pads 2 -> 128)
@@ -430,11 +457,11 @@ class ShardedFpClassifier:
             return seen, jax.lax.psum(tloc, "db")
 
         ispec = (
-            P("db", None), P(None, None), P("db", None, None),
+            P("db", None), P(None, None), P("db", None),  # fptab, fptab2, rec
             P(None, None),  # tinfo (replicated)
-            P("db", None, None),  # per-shard bloom filters
+            P("db", None),  # per-shard bloom filters (shard axis flattened)
             P(None, None, None),  # chain3
-            P("data", "db", None),  # seen
+            P(("data", "db")),  # seen (globally flat, jointly sharded)
             P("data", None), P("data"),  # codes, lengths
             (P(), P(), P(), P(), P()),  # salts
         )
@@ -442,7 +469,7 @@ class ShardedFpClassifier:
         def build(fn, out):
             f_ = shard_map(
                 fn, mesh=mesh, in_specs=ispec,
-                out_specs=(P("data", "db", None),) + out, check_vma=False,
+                out_specs=(P(("data", "db")),) + out, check_vma=False,
             )
             return jax.jit(f_, donate_argnums=(6,))
 
@@ -461,8 +488,7 @@ class ShardedFpClassifier:
             replicated [num_targ] int32 vector (~24 KB)."""
             from kmer_id_tpu.engine.fpclassify import onehot_hist
 
-            rec = rec[0]  # [1, loc, 3] local block
-            s = jax.lax.psum(seen[0, 0].astype(jnp.int32), "data")
+            s = jax.lax.psum(seen.astype(jnp.int32), "data")
             tin = (rec[:, 2] & jnp.uint32(0xFFFFFF)).astype(jnp.int32)
             # 1-D node-column gather: a [loc, 2] result would be lane-padded
             # 2 -> 128 at production slot counts (tens of GB)
@@ -480,7 +506,7 @@ class ShardedFpClassifier:
             shard_map(
                 ucount_dev, mesh=mesh,
                 in_specs=(
-                    P("db", None, None), P(None, None), P("data", "db", None)
+                    P("db", None), P(None, None), P(("data", "db"))
                 ),
                 out_specs=P(), check_vma=False,
             )
@@ -488,7 +514,7 @@ class ShardedFpClassifier:
 
     # ------------------------------------------------------------ API
     def new_seen(self) -> jax.Array:
-        shape = (self.dp, self.dbp, self.loc_slots)
+        shape = (self.dp * self.dbp * self.loc_slots,)
         if jax.process_count() == 1:
             return jax.device_put(jnp.zeros(shape, jnp.int8), self._seen_sh)
         return jax.make_array_from_callback(
@@ -672,8 +698,8 @@ class ShardedFpClassifier:
             return np.asarray(self._ucount_dev(
                 self._rec, self._tinfo, seen
             )).astype(np.int64)
-        # host-array fallback (tests hand in raw [dp, dbp, loc] bitmaps)
-        s = np.asarray(seen)
+        # host-array fallback (tests hand in raw bitmaps, flat or 3-D)
+        s = np.asarray(seen).reshape(self.dp, self.dbp, self.loc_slots)
         merged = s.any(axis=0)  # [dbp, loc_slots]
         t = self._st_loc_host[merged]
         t = t[t > 1]
