@@ -306,7 +306,14 @@ def fp_long_finals(db, ex, seg, seen, n_segs: int, max_hits: int):
     per-window replay + ordered host fold, exactly like the short-read
     engine's overflow fallback.
 
-    Returns (finals int32 [n_segs], seen).
+    Reads that are inconsistent (multi-target contigs — COMMON for
+    genome-scale FASTA) or candidate-overflowed get bit 30 set; the host
+    resolves them from the per-chunk summary plane this kernel ALSO
+    returns — fetched only for groups that contain flagged reads, so
+    consistent-read groups ship one int per read and flagged groups ship
+    exactly what the r4 summary lane shipped (no second kernel pass).
+
+    Returns (finals int32 [n_segs], summary int32 [rows, 3+max_hits], seen).
     """
     cv, seen = _compact_verify(db, ex, max_hits, seen)
     ver, t, tin, tout, depth = cv["ver"], cv["t"], cv["tin"], cv["tout"], cv["depth"]
@@ -335,7 +342,7 @@ def fp_long_finals(db, ex, seg, seen, n_segs: int, max_hits: int):
     dtgt = take_rows(db["tinfo"], dtin_seg)[:, 0]
     finals = jnp.where(nh_seg > 0, dtgt, 0)
     finals = jnp.where(seg_ok, finals, finals | jnp.int32(1 << 30))
-    return finals, seen
+    return finals, _summary_plane(cv), seen
 
 
 @partial(jax.jit, static_argnames=("l", "n_segs", "max_hits"),
@@ -780,7 +787,7 @@ class FpClassifier:
             groups.append((g0, r0 - g0))
 
         # ---- submit every group, then fetch all per-read finals at once
-        group_meta = []  # (row0, n, item0, n_items, finals_dev, args)
+        group_meta = []  # (row0, n, item0, n_items, finals_dev, sum_dev, args)
         for g0, n in groups:
             items_in = row_item_arr[g0 : g0 + n]
             item0 = int(items_in[0])
@@ -796,63 +803,122 @@ class FpClassifier:
             seg = np.full(rows, k, dtype=np.int32)  # pads -> sentinel seg
             seg[:n] = items_in - item0
             # STATIC segment count: one jit signature per rows-bucket (a
-            # per-group k+1 would recompile the kernel for every distinct
-            # read packing — the first bench of this lane spent its wall in
-            # recompiles); unused trailing segments cost one tiny vector
+            # per-group k+1 would recompile for every distinct read packing)
             n_segs = self.batch_size + 1
             packed, exc = pack_codes(plane, lengths)
             if packed is None:  # exception-list overflow: ship the plane
-                fin_dev, seen = _fp_long_codes(
+                fin_dev, sum_dev, seen = _fp_long_codes(
                     self._db, jnp.asarray(plane), jnp.asarray(lengths),
                     jnp.asarray(seg), seen, n_segs=n_segs, max_hits=mh,
                 )
             else:
-                fin_dev, seen = _fp_long_packed(
+                fin_dev, sum_dev, seen = _fp_long_packed(
                     self._db, jnp.asarray(packed), jnp.asarray(exc),
                     jnp.asarray(lengths), jnp.asarray(seg), seen, l=l,
                     n_segs=n_segs, max_hits=mh,
                 )
             group_meta.append(
-                (g0, n, item0, k, fin_dev, (packed, exc, plane, lengths))
+                (g0, n, item0, k, fin_dev, sum_dev, (packed, exc, plane, lengths))
             )
-        cat = jnp.concatenate([m[4] for m in group_meta], axis=0)
+        cat = jnp.concatenate([m[4][: m[3]] for m in group_meta], axis=0)
         F = np.asarray(cat)  # ONE fetch for every group (ints per READ)
 
         finals = [0] * len(items)
         off = 0
-        for g0, n, item0, k, fin_dev, args in group_meta:
-            gf = F[off : off + fin_dev.shape[0]][:k]
-            off += fin_dev.shape[0]
-            flagged = np.nonzero((gf & (1 << 30)) != 0)[0]
+        flagged_groups = []  # (gi, flagged item offsets within group)
+        for gi, (g0, n, item0, k, fin_dev, sum_dev, args) in enumerate(group_meta):
+            gf = F[off : off + k]
+            off += k
             for j in range(k):
                 finals[item0 + j] = int(gf[j] & ~np.int32(1 << 30))
-            if len(flagged) == 0:
-                continue
-            # inconsistent or candidate-overflow reads: exact per-window
-            # slots replay + ordered host msca fold (same fallback as the
-            # short-read engine)
-            packed, exc, plane, lengths = args
-            if packed is None:
-                sl_dev = _fp_kernel_codes(
-                    self._db, jnp.asarray(plane), jnp.asarray(lengths),
-                    max_hits=self.max_hits, mode="slots",
-                )
-            else:
-                sl_dev = _fp_kernel_packed(
-                    self._db, jnp.asarray(packed), jnp.asarray(exc),
-                    jnp.asarray(lengths), l=l, max_hits=self.max_hits,
-                    mode="slots",
-                )
-            seen = _scatter_plane_seen(seen, sl_dev)
-            sl = np.asarray(sl_dev)[:n]
+            fl = np.nonzero((gf & (1 << 30)) != 0)[0]
+            if len(fl):
+                flagged_groups.append((gi, fl))
+        if not flagged_groups:
+            return seen, finals
+
+        # ---- flagged reads (inconsistent — COMMON for genome-scale
+        # multi-target contigs — or candidate-overflow): resolve from the
+        # summary planes, fetched in ONE concatenated transfer for exactly
+        # the groups that need them; candidate-overflow chunks replay
+        # through the exact per-window slots kernel; the ordered msca fold
+        # runs BATCHED over all flagged reads (vectorized column steps)
+        scat = jnp.concatenate(
+            [group_meta[gi][5] for gi, _ in flagged_groups], axis=0
+        )
+        S_all = np.asarray(scat)
+        sum_off = 0
+        chunks: list[np.ndarray] = []
+        flat_ids: list[int] = []
+        for gi, fl in flagged_groups:
+            g0, n, item0, k, fin_dev, sum_dev, args = group_meta[gi]
+            S = S_all[sum_off : sum_off + sum_dev.shape[0]][:n]
+            sum_off += sum_dev.shape[0]
             items_in = row_item_arr[g0 : g0 + n]
-            for j in flagged:
-                rws = np.nonzero(items_in == item0 + int(j))[0]
-                s = sl[rws].reshape(-1)
-                s = s[s >= 0]
-                finals[item0 + int(j)] = fold_host(
-                    self.taxonomy, self.slot_target[s]
-                )
+            replay = None
+            ovr_rows = np.nonzero((S[:, 2] & 2) != 0)[0]
+            if len(ovr_rows):
+                packed, exc, plane, lengths = args
+                if packed is None:
+                    sl_dev = _fp_kernel_codes(
+                        self._db, jnp.asarray(plane), jnp.asarray(lengths),
+                        max_hits=self.max_hits, mode="slots",
+                    )
+                else:
+                    sl_dev = _fp_kernel_packed(
+                        self._db, jnp.asarray(packed), jnp.asarray(exc),
+                        jnp.asarray(lengths), l=l, max_hits=self.max_hits,
+                        mode="slots",
+                    )
+                seen = _scatter_plane_seen(seen, sl_dev)
+                replay = np.asarray(sl_dev)[:n]
+            # vectorized slot->read assembly over the group's flagged rows
+            # (r4 lane formulation); reads containing a candidate-overflow
+            # chunk rebuild row-by-row from the exact replay plane (rare)
+            flag_items = item0 + fl
+            ovr_items = set(
+                int(items_in[int(r)]) for r in ovr_rows
+            ) & set(int(x) for x in flag_items)
+            mask_rows = np.isin(items_in, flag_items)
+            slots = S[:, 3:]
+            valid = (slots >= 0) & mask_rows[:, None]
+            for r in ovr_rows:
+                valid[int(r)] = False  # per-row path below
+            lid = items_in - item0  # local read index per row
+            flat_lid = np.repeat(lid, slots.shape[1])
+            selm = valid.reshape(-1)
+            fi = flat_lid[selm]
+            fs = slots.reshape(-1)[selm]
+            counts = np.bincount(fi, minlength=k)
+            targets_all = (
+                self.slot_target[fs] if len(fs) else fs.astype(np.int32)
+            )
+            parts_by_lid = np.split(targets_all, np.cumsum(counts)[:-1])
+            for j in fl:
+                idx = item0 + int(j)
+                if idx in ovr_items:
+                    rws = np.nonzero(items_in == idx)[0]
+                    parts = []
+                    for r in rws:
+                        if int(r) in set(int(x) for x in ovr_rows):
+                            p_ = replay[int(r)]
+                            parts.append(p_[p_ >= 0])
+                        else:
+                            sr = slots[r]
+                            parts.append(sr[sr >= 0])
+                    sl = (
+                        np.concatenate(parts)
+                        if parts else np.zeros(0, np.int64)
+                    )
+                    chunks.append(self.slot_target[sl.astype(np.int64)])
+                else:
+                    chunks.append(parts_by_lid[int(j)])
+                flat_ids.append(idx)
+        from kmer_id_tpu.engine.classify import fold_host_many
+
+        folded = fold_host_many(self.taxonomy, chunks)
+        for idx, f in zip(flat_ids, folded):
+            finals[idx] = int(f)
         return seen, finals
 
     def _long_many_summary(self, seen, items, all_planes, all_lens,
