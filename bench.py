@@ -342,7 +342,11 @@ def _our_throughput(meta) -> tuple[float, dict]:
     # warmup: compile on a small slice
     warm = SampleProcessor(clf, cfg)
     recs = iter_fastq_gz(meta["reads"])
-    warm_records = [next(recs) for _ in range(8192)]
+    # 64k-read warmup: one batch only compiles, but the tunnel's H2D path
+    # (grant negotiation + transfer pipelining) needs several batches to
+    # reach steady state — a cold first timed pass consistently measured
+    # ~30% low and dragged the p50 (r5 runs)
+    warm_records = [next(recs) for _ in range(65536)]
     warm.feed(warm_records)
     warm.finish()
     hbm = _hbm_bytes()
