@@ -195,6 +195,20 @@ class SampleProcessor:
 
         self._inflight = deque()  # futures of the collector thread, FIFO
         self.pipeline_depth = 4  # collector jobs in flight hides latency
+        # Submitter thread: device_put + dispatch block the calling thread
+        # for ~the H2D time over tunneled links, which serialized decode
+        # against transfer on the main thread.  A single submitter worker
+        # preserves submit order (and with it the exact account order and
+        # the seen-donation chain, which now lives entirely on this thread)
+        # while the main thread runs ahead decoding.  Disabled in
+        # multi-process mode (strict global collective order) and verify
+        # mode (sequential by design).
+        self._sub_q: deque = deque()
+        self._submitter = (
+            ThreadPoolExecutor(max_workers=1)
+            if self._mp_rows is None and cfg.minalign == 0
+            else None
+        )
         if self._mp_rows is not None:
             # Multi-process runs must issue every collective in the SAME
             # global order on every process (jax.distributed rendezvous);
@@ -229,13 +243,27 @@ class SampleProcessor:
                 "kmer_seen": set(),
             }
 
+    def _enqueue(self, fn, *a) -> None:
+        """Run a consume step on the submitter thread (order-preserving
+        FIFO with bounded lookahead), or inline when disabled."""
+        if self._submitter is None:
+            fn(*a)
+            return
+        self._sub_q.append(self._submitter.submit(fn, *a))
+        while len(self._sub_q) > 6:
+            self._sub_q.popleft().result()
+
+    def _drain_submits(self) -> None:
+        while self._sub_q:
+            self._sub_q.popleft().result()
+
     def feed(self, records: Iterable) -> None:
         # Both feed paths enqueue to the same single-worker collector FIFO,
         # so account order stays exact without draining the pipeline here
         # (callers streaming many small feed() chunks keep full overlap).
         for acc, seq, qual in records:
             for item in self.batcher.add(acc, seq, qual):
-                self._consume(item)
+                self._enqueue(self._consume, item)
 
     def feed_file(self, path, fmt: str | None = None) -> None:
         """Stream one read file (extension-dispatched, vf6:1133-1152;
@@ -243,7 +271,7 @@ class SampleProcessor:
         if self._feeder is not None:
             with self.timers.stage("decode+classify"):
                 for nb in self._feeder.feed_path(str(path), fmt=fmt):
-                    self._consume_native(nb)
+                    self._enqueue(self._consume_native, nb)
             return
         from kmer_id_tpu.io import fastx
         from kmer_id_tpu.io.native import detect_format
@@ -261,9 +289,12 @@ class SampleProcessor:
     def finish(self) -> SampleResult:
         if self._feeder is not None:
             for nb in self._feeder.flush():
-                self._consume_native(nb)
+                self._enqueue(self._consume_native, nb)
         for item in self.batcher.flush():
-            self._consume(item)
+            self._enqueue(self._consume, item)
+        self._drain_submits()
+        if self._submitter is not None:
+            self._submitter.shutdown(wait=True)
         self._barrier()
         self._collector.shutdown(wait=True)
         if self._verify is not None:
